@@ -1,0 +1,274 @@
+"""Single config system for SPE-TPU.
+
+Replaces the reference's duplicated argparse drivers (main.py:35-147 and
+main_coco.py:136-246 in /root/reference) with one dataclass. Field names keep
+parity with the reference flags so recipes translate 1:1; `to_argparse` /
+`from_argparse` expose the same public flag surface for the CLI drivers.
+
+Extra TPU-only knobs (mesh axes, shape caps, dtypes) live in their own
+section; the reference handled the equivalent dynamism with per-image Python
+loops, which a jitted TPU program cannot.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+
+@dataclass
+class SPEConfig:
+    # --- optimization (reference main.py:37-48) ---
+    lr: float = 1e-4
+    lr_backbone: float = 1e-5
+    lr_cls_head: float = 5e-5
+    batch_size: int = 2
+    weight_decay: float = 1e-4
+    epochs: int = 50
+    lr_drop: int = 40
+    clip_max_norm: float = 0.1
+    cam_thr: float = 0.2
+    # cam_thr schedule: 0.2 for epoch < cam_thr_drop_epoch else 0.1
+    # (reference main.py:246-249)
+    cam_thr_low: float = 0.1
+    cam_thr_drop_epoch: int = 20
+    multi_box_ratio: float = 0.5
+
+    # --- backbone (main.py:50-62) ---
+    frozen_weights: Optional[str] = None
+    backbone: str = "TSCAM_cait_XXS24"
+    dilation: bool = False
+    position_embedding: str = "sine"
+    backbone_drop_rate: float = 0.0
+    drop_path_rate: float = 0.0
+    drop_block_rate: float = 0.0
+    drop_attn_rate: float = 0.0
+
+    # --- transformer (main.py:64-83) ---
+    enc_layers: int = 6
+    dec_layers: int = 6
+    dim_feedforward: int = 2048
+    hidden_dim: int = 256  # overwritten by backbone embed dim, like cait_backbone.py:85
+    dropout: float = 0.1
+    nheads: int = 8
+    num_queries: int = 300
+    pre_norm: bool = False
+    layer_to_det: int = 23
+    num_refines: int = 1
+    masks: bool = False
+
+    # --- losses / matcher (main.py:88-117) ---
+    aux_loss: bool = True
+    set_cost_class: float = 2.0
+    set_cost_bbox: float = 5.0
+    set_cost_giou: float = 2.0
+    hung_match_ratio: int = 5
+    hungarian_multi: bool = False
+    box_jitter: float = 0.1
+    drloc: bool = False
+    mask_loss_coef: float = 1.0
+    dice_loss_coef: float = 1.0
+    cls_loss_coef: float = 2.0
+    bbox_loss_coef: float = 2.0
+    img_label_loss_coef: float = 1.0
+    img_label_tokens_loss_coef: float = 1.0
+    giou_loss_coef: float = 2.0
+    drloc_loss_coef: float = 1.0
+    focal_alpha: float = 0.25
+    focal_gamma: float = 2.0
+    # epoch gates (reference engine.py:134-142): before `warmup_cls_epochs`
+    # only image-label losses; before `refine_start_epoch` no ref_* losses.
+    warmup_cls_epochs: int = 7
+    refine_start_epoch: int = 15
+
+    # --- dataset (main.py:119-141) ---
+    dataset_file: str = "coco"
+    dataset_eval: str = "voc_voc"
+    coco_path: Optional[str] = None
+    test_path: Optional[str] = None
+    coco_panoptic_path: Optional[str] = None
+    remove_difficult: bool = False
+    output_dir: str = ""
+    device: str = "tpu"
+    seed: int = 42
+    resume: str = ""
+    start_epoch: int = 0
+    eval: bool = False
+    num_workers: int = 2
+    max_size: int = 448
+    fixed_size: bool = False
+    area_ratio: float = 0.5
+
+    # --- distributed (main.py:143-146) ---
+    world_size: int = 1
+    dist_url: str = "env://"
+
+    # === TPU-native extensions (no reference analog) ===
+    # dtypes
+    compute_dtype: str = "bfloat16"   # activations / matmuls
+    param_dtype: str = "float32"
+    # static shape caps (the reference uses dynamic per-image shapes)
+    max_gt_boxes: int = 24            # raw pseudo/GT boxes per image before repeat
+    max_cam_boxes_per_class: int = 4  # components kept per positive class
+    cam_cc_size: int = 64             # CAM is resized to this grid for connected components
+    # mesh
+    mesh_axes: Tuple[str, ...] = ("data",)
+    mesh_shape: Tuple[int, ...] = (-1,)
+    # pallas kernels
+    use_pallas_attention: bool = False
+    # assignment solver: 'auction' (on-device) or 'hungarian_cpu' (oracle)
+    assignment: str = "auction"
+    auction_eps_scaling: int = 3
+
+    # runtime-derived (mutated like the reference mutates args)
+    num_classes: int = 20             # dataset classes (20 VOC / 90 COCO)
+
+    # ------------------------------------------------------------------
+    @property
+    def num_det_classes(self) -> int:
+        """Logit width of the detection heads.
+
+        Mirrors conditional_detr.build (reference conditional_detr.py:742):
+        21 for VOC-style datasets, 91 for COCO.
+        """
+        return 91 if self.dataset_file == "coco" else 21
+
+    @property
+    def max_targets(self) -> int:
+        """Padded target count after box-repeat augmentation."""
+        return self.max_gt_boxes * self.hung_match_ratio
+
+    def cam_thr_at_epoch(self, epoch: int) -> float:
+        return self.cam_thr if epoch < self.cam_thr_drop_epoch else self.cam_thr_low
+
+    def replace(self, **kw) -> "SPEConfig":
+        return dataclasses.replace(self, **kw)
+
+
+# ---------------------------------------------------------------------------
+# Recipe presets (replace reference scripts/run_voc0712.py and run_coco17.py)
+# ---------------------------------------------------------------------------
+
+def voc0712_preset(**overrides) -> SPEConfig:
+    """Published VOC0712 recipe (reference scripts/run_voc0712.py:15-41)."""
+    cfg = SPEConfig(
+        epochs=50,
+        dataset_file="voc",
+        dataset_eval="voc_voc",
+        fixed_size=True,
+        lr_backbone=1e-5,
+        lr_cls_head=1e-4,
+        batch_size=1,
+        enc_layers=3,
+        layer_to_det=24,
+        focal_gamma=0.5,
+        backbone="TSCAM_cait_XXS36_Two_Branch",
+        max_size=512,
+        num_queries=300,
+        weight_decay=5e-2,
+        backbone_drop_rate=0.07,
+        drop_path_rate=0.2,
+        drop_attn_rate=0.05,
+        hungarian_multi=True,
+        hung_match_ratio=5,
+        box_jitter=0.1,
+        num_classes=20,
+        seed=42,
+    )
+    return cfg.replace(**overrides)
+
+
+def coco17_preset(**overrides) -> SPEConfig:
+    """Published COCO recipe (reference scripts/run_coco17.py:12-36,
+    main_coco.py defaults: 14 epochs, lr_drop 11, seed 3407, 1-epoch gates)."""
+    cfg = SPEConfig(
+        epochs=14,
+        lr_drop=11,
+        dataset_file="coco",
+        dataset_eval="coco",
+        fixed_size=True,
+        lr_backbone=1e-5,
+        lr_cls_head=1e-4,
+        batch_size=1,
+        enc_layers=3,
+        layer_to_det=24,
+        focal_gamma=0.5,
+        backbone="TSCAM_cait_XXS36_Two_Branch",
+        max_size=512,
+        num_queries=300,
+        weight_decay=5e-2,
+        backbone_drop_rate=0.07,
+        drop_path_rate=0.2,
+        drop_attn_rate=0.05,
+        hungarian_multi=True,
+        hung_match_ratio=5,
+        box_jitter=0.1,
+        num_classes=90,
+        seed=3407,
+        warmup_cls_epochs=1,   # engine.py:573-581 (COCO path gates at epoch 1)
+        refine_start_epoch=1,
+        max_gt_boxes=48,       # COCO images carry more categories
+    )
+    return cfg.replace(**overrides)
+
+
+PRESETS = {
+    "voc0712": voc0712_preset,
+    "coco17": coco17_preset,
+}
+
+
+# ---------------------------------------------------------------------------
+# argparse bridge (flag parity with reference main.py get_args_parser)
+# ---------------------------------------------------------------------------
+
+_FLAG_FIELDS = [f.name for f in dataclasses.fields(SPEConfig)]
+
+_STORE_TRUE = {
+    "dilation", "pre_norm", "masks", "hungarian_multi", "drloc",
+    "remove_difficult", "eval", "fixed_size", "use_pallas_attention",
+}
+_SKIP = {"mesh_axes", "mesh_shape", "aux_loss"}
+
+
+def build_arg_parser(defaults: Optional[SPEConfig] = None) -> argparse.ArgumentParser:
+    """Argparse surface matching reference main.py:35-147 (plus TPU knobs)."""
+    cfg = defaults or SPEConfig()
+    p = argparse.ArgumentParser("SPE-TPU detector", add_help=False)
+    p.add_argument("--preset", default=None, choices=sorted(PRESETS.keys()))
+    for f in dataclasses.fields(SPEConfig):
+        name = f.name
+        if name in _SKIP:
+            continue
+        flag = f"--{name}"
+        default = getattr(cfg, name)
+        if name in _STORE_TRUE:
+            p.add_argument(flag, action="store_true", default=default)
+        elif f.type in ("Optional[str]", "str") or isinstance(default, str) or default is None:
+            p.add_argument(flag, type=str, default=default)
+        elif isinstance(default, bool):
+            p.add_argument(flag, type=lambda s: s.lower() in ("1", "true"), default=default)
+        elif isinstance(default, int):
+            p.add_argument(flag, type=int, default=default)
+        elif isinstance(default, float):
+            p.add_argument(flag, type=float, default=default)
+    # reference-compat alias: --no_aux_loss disables aux losses (main.py:89-90)
+    p.add_argument("--no_aux_loss", dest="aux_loss", action="store_false", default=cfg.aux_loss)
+    return p
+
+
+def config_from_args(argv=None) -> SPEConfig:
+    parser = argparse.ArgumentParser(parents=[build_arg_parser()])
+    args = parser.parse_args(argv)
+    base = PRESETS[args.preset]() if args.preset else SPEConfig()
+    # apply only flags the user actually provided
+    provided = {}
+    sentinel = parser.parse_args([] if args.preset is None else ["--preset", args.preset])
+    for name in _FLAG_FIELDS:
+        if not hasattr(args, name):
+            continue
+        if getattr(args, name) != getattr(sentinel, name):
+            provided[name] = getattr(args, name)
+    return base.replace(**provided)
