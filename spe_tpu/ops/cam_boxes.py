@@ -1,0 +1,212 @@
+"""CAM -> pseudo ground-truth boxes, entirely on device.
+
+TPU-native replacement for the reference's per-image, per-class host loop
+(engine.py:356-398 `get_pseudo_label_multi_boxes` + cams_deit.py:9-13
+`resize_cam` and :61-96 `get_multi_bboxes`): the reference copies each CAM
+channel to CPU, resizes with cv2, thresholds, runs cv2.findContours, filters
+components by area ratio, and ships the boxes back to device — for every
+image and every positive class, every training step.
+
+Here the whole pipeline is one jitted computation:
+  1. bilinear-resize the CAM to a fixed `size x size` grid (XLA resize),
+  2. min-max normalize and threshold at `cam_thr * max` (cams_deit.py:40-45),
+  3. 8-connected component labeling: iterate [3x3 neighbor-min; row run-min;
+     column run-min] to a fixpoint. Run-min within contiguous foreground
+     runs uses log-shift doubling (static shifts only — random gathers
+     like pointer-jumping are ~20x slower on TPU, measured),
+  4. component areas via sort + run-length encoding (scatter-free: 5
+     scatters cost ~8ms for a training batch on v5e, the sort path ~2ms),
+  5. keep components with area >= area_ratio * largest (cams_deit.py:82-87),
+     largest-first, up to K per class,
+  6. pack boxes of all positive classes into a fixed (max_boxes,) budget in
+     the reference's order (class ascending, area descending), labels = class
+     index + 1 (engine.py:391), boxes normalized cxcywh (engine.py:388-395).
+
+Known deviations from the reference (documented, tested in
+tests/test_cam_boxes.py against the actual cv2 pipeline):
+  * box edges are quantized to the labeling grid (default 64 -> 8px at 512²)
+    instead of cv2's full-resolution contours;
+  * component area is pixel count, not cv2.contourArea polygon area.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+_BIG = jnp.int32(2**30)
+
+
+def _run_min_axis(lab: jnp.ndarray, mask: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Min within contiguous foreground runs along `axis`, both directions.
+
+    Log-shift doubling: after step k each cell holds the min over up to 2^k
+    predecessors in its run; `c` tracks whether the run extends that far.
+    Static shifts only (pad+slice) — no gathers.
+    """
+    S = lab.shape[axis]
+    ndim = lab.ndim
+
+    def shifted(a, shift, before, fill):
+        pads = [(0, 0, 0)] * ndim
+        pads[axis] = (shift, 0, 0) if before else (0, shift, 0)
+        p = jax.lax.pad(a, fill, pads)
+        sl = [slice(None)] * ndim
+        sl[axis] = slice(0, S) if before else slice(shift, S + shift)
+        return p[tuple(sl)]
+
+    out = lab
+    for before in (True, False):
+        v = jnp.where(mask, out, _BIG)
+        c = mask
+        shift = 1
+        while shift < S:
+            vs = shifted(v, shift, before, _BIG)
+            cs = shifted(c, shift, before, False)
+            v = jnp.where(c, jnp.minimum(v, vs), v)
+            c = c & cs
+            shift *= 2
+        out = jnp.minimum(out, jnp.where(mask, v, _BIG))
+    return out
+
+
+def _connected_components(mask: jnp.ndarray, max_iters: int = 96) -> jnp.ndarray:
+    """8-connected component labels of a binary (S, S) mask.
+
+    Returns (S, S) int32: each foreground pixel gets the minimum linear index
+    of its component; background pixels get _BIG. Blob-shaped masks converge
+    in ~4 sweeps; max_iters=96 covers adversarial percolation mazes
+    (validated against scipy.ndimage.label in tests).
+    """
+    S = mask.shape[0]
+    idx = jnp.arange(S * S, dtype=jnp.int32).reshape(S, S)
+    labels = jnp.where(mask, idx, _BIG)
+
+    def sweep(lab):
+        p = jax.lax.pad(lab, _BIG, [(1, 1, 0), (1, 1, 0)])
+        best = lab
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if dy == 0 and dx == 0:
+                    continue
+                best = jnp.minimum(best, p[1 + dy:1 + dy + S, 1 + dx:1 + dx + S])
+        lab = jnp.where(mask, jnp.minimum(lab, best), _BIG)
+        lab = _run_min_axis(lab, mask, 1)
+        lab = _run_min_axis(lab, mask, 0)
+        return lab
+
+    def cond(state):
+        _, changed, it = state
+        return changed & (it < max_iters)
+
+    def body(state):
+        lab, _, it = state
+        new = sweep(lab)
+        return new, jnp.any(new != lab), it + 1
+
+    labels, _, _ = jax.lax.while_loop(cond, body, (labels, jnp.bool_(True), jnp.int32(0)))
+    return labels
+
+
+def _cam_to_class_boxes(cam, cam_thr, area_ratio, k):
+    """Boxes for one (S, S) CAM. Returns (k, 4) xyxy in [0,1] + (k,) valid."""
+    S = cam.shape[0]
+    n = S * S
+    cam = jnp.nan_to_num(cam.astype(jnp.float32))
+    cam = cam - jnp.min(cam)
+    cam = cam / jnp.maximum(jnp.max(cam), 1e-12)
+    # reference thresholds the uint8 image at int(cam_thr*255) with
+    # THRESH_TOZERO (keep strictly greater), cams_deit.py:40-45
+    mask = cam * 255.0 > jnp.floor(cam_thr * 255.0)
+
+    labels = _connected_components(mask)
+    flat = labels.reshape(-1)
+
+    # component areas scatter-free: sort labels, run-length encode
+    sl = jnp.sort(flat)
+    pos = jnp.arange(n, dtype=jnp.int32)
+    start = jnp.concatenate([jnp.array([True]), sl[1:] != sl[:-1]])
+    next_start = jnp.flip(jax.lax.cummin(jnp.flip(jnp.where(start, pos, n)), axis=0))
+    next_start = jnp.concatenate([next_start[1:], jnp.array([n], jnp.int32)])
+    runlen = jnp.where(start & (sl < _BIG), next_start - pos, 0)
+    area_k, idx_k = jax.lax.top_k(runlen, k)
+    roots = sl[idx_k]
+
+    max_area = area_k[0]
+    valid = (area_k > 0) & (area_k.astype(jnp.float32) >=
+                            area_ratio * max_area.astype(jnp.float32))
+
+    # bounding box per kept component: masked reductions over the grid
+    ys = (jnp.arange(n, dtype=jnp.int32) // S)[None, :]
+    xs = (jnp.arange(n, dtype=jnp.int32) % S)[None, :]
+    eq = (flat[None, :] == roots[:, None]) & (flat[None, :] < _BIG)
+    x0 = jnp.min(jnp.where(eq, xs, S), axis=1).astype(jnp.float32) / S
+    y0 = jnp.min(jnp.where(eq, ys, S), axis=1).astype(jnp.float32) / S
+    x1 = (jnp.max(jnp.where(eq, xs, -1), axis=1) + 1).astype(jnp.float32) / S
+    y1 = (jnp.max(jnp.where(eq, ys, -1), axis=1) + 1).astype(jnp.float32) / S
+    boxes = jnp.stack([x0, y0, x1, y1], axis=-1)
+
+    # degenerate fallback, like the reference's [0,0,1,1] pixel box
+    # (cams_deit.py:94) — only reachable if the CAM is entirely non-finite
+    none_valid = ~jnp.any(valid)
+    fallback = jnp.array([0.0, 0.0, 1.0 / S, 1.0 / S], jnp.float32)
+    boxes = jnp.where(none_valid, jnp.broadcast_to(fallback, boxes.shape), boxes)
+    valid = valid.at[0].set(valid[0] | none_valid)
+    return boxes, valid
+
+
+@functools.partial(jax.jit, static_argnames=("size", "k", "max_boxes"))
+def cam_pseudo_boxes(
+    cams: jnp.ndarray,
+    img_label: jnp.ndarray,
+    cam_thr: jnp.ndarray | float,
+    area_ratio: float = 0.5,
+    size: int = 64,
+    k: int = 4,
+    max_boxes: int = 24,
+):
+    """Pseudo GT boxes from class-attention maps for a batch.
+
+    Args:
+      cams: (B, C, h, w) raw CAMs (any resolution; resized internally).
+      img_label: (B, C) multi-hot image-level labels.
+      cam_thr: scalar threshold (schedulable per epoch, main.py:246-249).
+      area_ratio: keep components with area >= ratio * largest.
+      size: labeling grid resolution.
+      k: max components per positive class.
+      max_boxes: per-image box budget after packing.
+
+    Returns dict:
+      boxes:  (B, max_boxes, 4) normalized cxcywh
+      labels: (B, max_boxes) int32, class index + 1 (engine.py:391)
+      mask:   (B, max_boxes) bool
+    """
+    B, C, h, w = cams.shape
+    cams = jax.image.resize(cams.astype(jnp.float32), (B, C, size, size), "bilinear")
+    cam_thr = jnp.asarray(cam_thr, jnp.float32)
+
+    boxes, valid = jax.vmap(jax.vmap(
+        lambda cam: _cam_to_class_boxes(cam, cam_thr, area_ratio, k)))(cams)
+    # boxes: (B, C, k, 4) xyxy in [0,1]; valid: (B, C, k)
+    valid = valid & (img_label > 0)[:, :, None]
+
+    # pack per image in reference order: class ascending, area rank ascending
+    cls_ids = jnp.broadcast_to(jnp.arange(C, dtype=jnp.int32)[None, :, None], (B, C, k))
+    rank = jnp.broadcast_to(jnp.arange(k, dtype=jnp.int32)[None, None, :], (B, C, k))
+    key = jnp.where(valid, cls_ids * k + rank, C * k + 1)
+    key_flat = key.reshape(B, C * k)
+    order = jnp.argsort(key_flat, axis=1)[:, :max_boxes]
+    out_boxes = jnp.take_along_axis(
+        boxes.reshape(B, C * k, 4), order[:, :, None], axis=1)
+    out_valid = jnp.take_along_axis(valid.reshape(B, C * k), order, axis=1)
+    out_labels = jnp.take_along_axis((cls_ids + 1).reshape(B, C * k), order, axis=1)
+
+    from spe_tpu.ops.boxes import box_xyxy_to_cxcywh
+
+    return {
+        "boxes": box_xyxy_to_cxcywh(out_boxes),
+        "labels": jnp.where(out_valid, out_labels, 0),
+        "mask": out_valid,
+    }

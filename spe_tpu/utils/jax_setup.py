@@ -1,0 +1,26 @@
+"""Process-wide JAX configuration for SPE-TPU.
+
+Call `setup()` once at entry (drivers, bench, tests do this). Centralizes:
+  * persistent compilation cache — the axon remote-compile service has
+    extremely noisy latency (39s..440s measured for the same graph); the
+    cache makes repeat runs pay ~seconds instead;
+  * optional platform override for CPU-only work.
+"""
+
+from __future__ import annotations
+
+import os
+import pathlib
+
+
+def setup(platform: str | None = None, cache_dir: str | None = None) -> None:
+    import jax
+
+    if platform:
+        jax.config.update("jax_platforms", platform)
+    if cache_dir is None:
+        root = pathlib.Path(__file__).resolve().parents[2]
+        cache_dir = os.environ.get("SPE_TPU_JAX_CACHE", str(root / ".jax_cache"))
+    pathlib.Path(cache_dir).mkdir(parents=True, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
