@@ -1,0 +1,195 @@
+"""Attention flavors used across the SPE stack (flax.linen, batch-first).
+
+Three distinct attention mechanisms from the reference, rebuilt TPU-first
+(einsum formulations that fuse into MXU matmuls; optional Pallas kernels
+plug in behind the same signatures):
+
+  * TalkingHeadsAttention — CaiT patch blocks: head-mixing linears before
+    and after softmax (reference models/cait.py:344-393).
+  * MultiClassAttention — class-attention where only the class tokens act
+    as queries over [class tokens ++ patches]; exposes the softmax
+    attention map, which IS the CAM signal (reference cait.py:91-139).
+  * ConditionalCrossAttention support lives in models/transformer.py: the
+    decoder concatenates content and spatial halves per head so attention
+    runs at 2*head_dim (reference models/transformer.py:386-419 with the
+    projection-free MultiheadAttention of models/attention.py).
+
+All masks follow the NestedTensor convention: True = padded/invalid key.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from spe_tpu.models.layers import trunc_normal_init
+
+_NEG = -1e9
+
+
+def scaled_dot_attention(q, k, v, *, mask: Optional[jnp.ndarray] = None,
+                         already_scaled: bool = False):
+    """q: (B, H, Nq, Dh), k/v: (B, H, Nk, Dh); mask (B, Nk) True=pad."""
+    if not already_scaled:
+        q = q / jnp.sqrt(q.shape[-1]).astype(q.dtype)
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k)
+    if mask is not None:
+        logits = jnp.where(mask[:, None, None, :], _NEG, logits)
+    attn = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
+    out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+    return out, attn
+
+
+def _split_heads(x, num_heads):
+    B, N, D = x.shape
+    return x.reshape(B, N, num_heads, D // num_heads).transpose(0, 2, 1, 3)
+
+
+def _merge_heads(x):
+    B, H, N, Dh = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(B, N, H * Dh)
+
+
+class TalkingHeadsAttention(nn.Module):
+    """CaiT talking-heads self-attention (reference cait.py:344-393).
+
+    attn_logits -> proj_l (head mixing) -> softmax -> proj_w (head mixing)
+    -> attn_drop -> @v. Note the reference scales q BEFORE the logits
+    (cait.py:377), which we match.
+    """
+
+    num_heads: int
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
+    qkv_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        B, N, D = x.shape
+        qkv = nn.Dense(3 * D, use_bias=self.qkv_bias, dtype=self.dtype,
+                       kernel_init=trunc_normal_init, name="qkv")(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = _split_heads(q, self.num_heads) * (D // self.num_heads) ** -0.5
+        k = _split_heads(k, self.num_heads)
+        v = _split_heads(v, self.num_heads)
+
+        logits = jnp.einsum("bhqd,bhkd->bhqk", q, k)
+        # talking heads: mix across the head dimension (einsum keeps it fused)
+        wl = self.param("proj_l", nn.initializers.truncated_normal(0.02),
+                        (self.num_heads, self.num_heads), jnp.float32)
+        bl = self.param("proj_l_bias", nn.initializers.zeros, (self.num_heads,), jnp.float32)
+        logits = jnp.einsum("bhqk,hg->bgqk", logits, wl.astype(logits.dtype))
+        logits = logits + bl.astype(logits.dtype)[None, :, None, None]
+
+        attn = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(x.dtype)
+
+        ww = self.param("proj_w", nn.initializers.truncated_normal(0.02),
+                        (self.num_heads, self.num_heads), jnp.float32)
+        bw = self.param("proj_w_bias", nn.initializers.zeros, (self.num_heads,), jnp.float32)
+        attn2 = jnp.einsum("bhqk,hg->bgqk", attn, ww.astype(attn.dtype))
+        attn2 = attn2 + bw.astype(attn2.dtype)[None, :, None, None]
+        attn2 = nn.Dropout(self.attn_drop)(attn2, deterministic=deterministic)
+
+        out = jnp.einsum("bhqk,bhkd->bhqd", attn2, v)
+        out = _merge_heads(out)
+        out = nn.Dense(D, dtype=self.dtype, kernel_init=trunc_normal_init, name="proj")(out)
+        out = nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
+        return out
+
+
+class MultiClassAttention(nn.Module):
+    """Class attention with `num_tokens` query tokens over the full sequence
+    (reference Multi_Class_Attention, cait.py:91-139).
+
+    Returns (out, attn): attn is (B, H, num_tokens, N) — the CAM source.
+    """
+
+    num_heads: int
+    num_tokens: int
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
+    qkv_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        B, N, D = x.shape
+        t = self.num_tokens
+        q = nn.Dense(D, use_bias=self.qkv_bias, dtype=self.dtype,
+                     kernel_init=trunc_normal_init, name="q")(x[:, :t])
+        k = nn.Dense(D, use_bias=self.qkv_bias, dtype=self.dtype,
+                     kernel_init=trunc_normal_init, name="k")(x)
+        v = nn.Dense(D, use_bias=self.qkv_bias, dtype=self.dtype,
+                     kernel_init=trunc_normal_init, name="v")(x)
+        q = _split_heads(q, self.num_heads) * (D // self.num_heads) ** -0.5
+        k = _split_heads(k, self.num_heads)
+        v = _split_heads(v, self.num_heads)
+        out, attn = scaled_dot_attention(q, k, v, already_scaled=True)
+        out = _merge_heads(out)
+        out = nn.Dense(D, dtype=self.dtype, kernel_init=trunc_normal_init, name="proj")(out)
+        out = nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
+        return out, attn
+
+
+class MultiheadAttention(nn.Module):
+    """Standard MHA with in/out projections (encoder self-attention;
+    reference uses nn.MultiheadAttention at transformer.py:258)."""
+
+    num_heads: int
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, query, key, value, *, key_padding_mask=None,
+                 deterministic: bool = True):
+        D = query.shape[-1]
+        q = nn.Dense(D, dtype=self.dtype, name="q_proj")(query)
+        k = nn.Dense(D, dtype=self.dtype, name="k_proj")(key)
+        v = nn.Dense(D, dtype=self.dtype, name="v_proj")(value)
+        q = _split_heads(q, self.num_heads) / jnp.sqrt(D // self.num_heads).astype(q.dtype)
+        k = _split_heads(k, self.num_heads)
+        v = _split_heads(v, self.num_heads)
+        logits = jnp.einsum("bhqd,bhkd->bhqk", q, k)
+        if key_padding_mask is not None:
+            logits = jnp.where(key_padding_mask[:, None, None, :], _NEG, logits)
+        attn = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
+        # dropout on attention weights, like torch MultiheadAttention
+        attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
+        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+        out = _merge_heads(out)
+        out = nn.Dense(D, dtype=self.dtype, name="out_proj")(out)
+        return out
+
+
+class ProjectionFreeAttention(nn.Module):
+    """Attention WITHOUT input projections — the caller pre-projects q/k/v
+    (reference models/attention.py:55-175: its fork of nn.MultiheadAttention
+    strips in-projections so the decoder can build q/k by concatenating
+    content and positional halves). q/k may have a different feature dim
+    than v (the conditional cross-attention runs q/k at 2*d_model).
+    """
+
+    num_heads: int
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, q, k, v, *, key_padding_mask=None, deterministic: bool = True):
+        Dv = v.shape[-1]
+        Dq = q.shape[-1]
+        qh = _split_heads(q, self.num_heads) / jnp.sqrt(Dq // self.num_heads).astype(q.dtype)
+        kh = _split_heads(k, self.num_heads)
+        vh = _split_heads(v, self.num_heads)
+        logits = jnp.einsum("bhqd,bhkd->bhqk", qh, kh)
+        if key_padding_mask is not None:
+            logits = jnp.where(key_padding_mask[:, None, None, :], _NEG, logits)
+        attn = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
+        attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
+        out = jnp.einsum("bhqk,bhkd->bhqd", attn, vh)
+        out = _merge_heads(out)
+        out = nn.Dense(Dv, dtype=self.dtype, name="out_proj")(out)
+        return out

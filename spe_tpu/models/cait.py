@@ -1,0 +1,252 @@
+"""CaiT two-branch backbone with multi-class-token CAMs (flax.linen).
+
+TPU-native rebuild of the reference's live backbone family
+(models/cait.py: `cait_models` base :421-516, `TSCAM_cait_two_branch`
+:674-831 — the published config): a LayerScale patch-block stack with
+talking-heads attention; a detection branch forked at `layer_to_det`
+(duplicated tail blocks, weight-initialized from the classification tail);
+class-attention blocks over [CLS ++ per-class tokens ++ patches]; heads
+producing per-class-token logits + CLS multilabel logits; and CAMs taken
+from the FIRST class-attention block's token->patch attention with
+std-reweighting across heads (cait.py:801-806,818-828).
+
+Differences from the reference (deliberate, TPU-first):
+  * batch-first (B, N, D) everywhere; CAM output is (B, C, h, w) like the
+    reference's final shape;
+  * per-forward pos-embed interpolation uses jax.image.resize bicubic —
+    same half-pixel convention as torch align_corners=False;
+  * patch embed is a reshaped matmul, not a conv (see layers.PatchEmbed).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from spe_tpu.models.attention import MultiClassAttention, TalkingHeadsAttention
+from spe_tpu.models.layers import (DropPath, Mlp, PatchEmbed,
+                                   interpolate_pos_embed, trunc_normal_init)
+
+
+class LayerScaleBlock(nn.Module):
+    """Pre-norm block with LayerScale (reference LayerScale_Block,
+    cait.py:396-416): x += dp(gamma1*attn(norm(x))); x += dp(gamma2*mlp(...))."""
+
+    num_heads: int
+    mlp_ratio: float = 4.0
+    drop: float = 0.0
+    attn_drop: float = 0.0
+    drop_path: float = 0.0
+    init_scale: float = 1e-4
+    qkv_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        D = x.shape[-1]
+        gamma1 = self.param("gamma_1", nn.initializers.constant(self.init_scale), (D,), jnp.float32)
+        gamma2 = self.param("gamma_2", nn.initializers.constant(self.init_scale), (D,), jnp.float32)
+        h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
+        h = TalkingHeadsAttention(self.num_heads, attn_drop=self.attn_drop,
+                                  proj_drop=self.drop, qkv_bias=self.qkv_bias,
+                                  dtype=self.dtype, name="attn")(h, deterministic=deterministic)
+        x = x + DropPath(self.drop_path)(gamma1.astype(x.dtype) * h, deterministic=deterministic)
+        h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
+        h = Mlp(int(D * self.mlp_ratio), dropout=self.drop, dtype=self.dtype,
+                name="mlp")(h, deterministic=deterministic)
+        x = x + DropPath(self.drop_path)(gamma2.astype(x.dtype) * h, deterministic=deterministic)
+        return x
+
+
+class LayerScaleBlockClassAttn(nn.Module):
+    """Class-attention block over u=[cls_tokens ++ patches] updating only the
+    class tokens (reference LayerScale_Block_CA_MultiClass, cait.py:311-328).
+    Returns (new_cls_tokens, attn_map)."""
+
+    num_heads: int
+    num_tokens: int
+    mlp_ratio: float = 4.0
+    init_scale: float = 1e-4
+    qkv_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, cls_tokens, *, deterministic: bool = True):
+        D = x.shape[-1]
+        gamma1 = self.param("gamma_1", nn.initializers.constant(self.init_scale), (D,), jnp.float32)
+        gamma2 = self.param("gamma_2", nn.initializers.constant(self.init_scale), (D,), jnp.float32)
+        u = jnp.concatenate([cls_tokens, x], axis=1)
+        u = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(u)
+        h, attn = MultiClassAttention(self.num_heads, num_tokens=self.num_tokens,
+                                      qkv_bias=self.qkv_bias, dtype=self.dtype,
+                                      name="attn")(u, deterministic=deterministic)
+        cls_tokens = cls_tokens + gamma1.astype(h.dtype) * h
+        h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(cls_tokens)
+        h = Mlp(int(D * self.mlp_ratio), dtype=self.dtype, name="mlp")(
+            h, deterministic=deterministic)
+        cls_tokens = cls_tokens + gamma2.astype(h.dtype) * h
+        return cls_tokens, attn
+
+
+def std_reweighting(cam: jnp.ndarray) -> jnp.ndarray:
+    """Reweight per-head CAMs by normalized per-head std and sum over heads
+    (reference cait.py:801-806; torch.std is unbiased/ddof=1).
+
+    cam: (B, H, C, P) -> (B, C, P).
+    """
+    cam32 = cam.astype(jnp.float32)
+    std = jnp.std(cam32, axis=-1, keepdims=True, ddof=1)
+    std = std - jnp.min(std, axis=1, keepdims=True)
+    std = std / jnp.maximum(jnp.max(std, axis=1, keepdims=True), 1e-12)
+    return (cam32 * std).sum(axis=1)
+
+
+@dataclasses.dataclass(frozen=True)
+class CaiTConfig:
+    img_size: int = 384
+    patch_size: int = 16
+    embed_dim: int = 192
+    depth: int = 36
+    num_heads: int = 4
+    mlp_ratio: float = 4.0
+    num_classes: int = 20
+    layer_to_det: int = 24
+    depth_token_only: int = 2
+    init_scale: float = 1e-5
+    drop_rate: float = 0.0
+    attn_drop_rate: float = 0.0
+    drop_path_rate: float = 0.0
+    qkv_bias: bool = True
+
+
+class CaiTTwoBranch(nn.Module):
+    """TSCAM_cait_two_branch (reference cait.py:674-831).
+
+    __call__(images, mask) -> dict:
+      x_logits:     (B, C)   per-class-token scalars (weak multilabel head)
+      x_cls_logits: (B, C)   CLS-token multilabel head
+      cams_cls:     (B, C, h, w) std-reweighted class-attention maps
+      x_patch:      (B, h, w, D) detection-branch patch features (norm_det'd)
+    """
+
+    cfg: CaiTConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, images, *, deterministic: bool = True):
+        cfg = self.cfg
+        B, H, W, _ = images.shape
+        p = cfg.patch_size
+        gh, gw = H // p, W // p
+        n_grid = cfg.img_size // p
+
+        x = PatchEmbed(p, cfg.embed_dim, dtype=self.dtype,
+                       name="patch_embed")(images.astype(self.dtype))
+
+        pos_embed = self.param("pos_embed", trunc_normal_init,
+                               (1, n_grid * n_grid, cfg.embed_dim), jnp.float32)
+        cls_token = self.param("cls_token", trunc_normal_init,
+                               (1, 1, cfg.embed_dim), jnp.float32)
+        extra_cls_token = self.param("extra_cls_token", trunc_normal_init,
+                                     (1, cfg.num_classes, cfg.embed_dim), jnp.float32)
+
+        pos = interpolate_pos_embed(pos_embed, (n_grid, n_grid), (gh, gw))
+        x = x + pos.astype(x.dtype)
+        x = nn.Dropout(cfg.drop_rate)(x, deterministic=deterministic)
+
+        cls_tokens = jnp.concatenate([
+            jnp.broadcast_to(cls_token, (B, 1, cfg.embed_dim)),
+            jnp.broadcast_to(extra_cls_token, (B, cfg.num_classes, cfg.embed_dim)),
+        ], axis=1).astype(x.dtype)
+
+        # patch stack; fork the det branch AFTER block layer_to_det-1
+        # (reference forks at `i + 1 == layer_to_det`, cait.py:776-777)
+        x_feat = None
+        for i in range(cfg.depth):
+            x = LayerScaleBlock(cfg.num_heads, cfg.mlp_ratio, drop=cfg.drop_rate,
+                                attn_drop=cfg.attn_drop_rate, drop_path=cfg.drop_path_rate,
+                                init_scale=cfg.init_scale, qkv_bias=cfg.qkv_bias,
+                                dtype=self.dtype, name=f"blocks_{i}")(
+                x, deterministic=deterministic)
+            if i + 1 == cfg.layer_to_det:
+                x_feat = x
+
+        for i in range(cfg.depth - cfg.layer_to_det):
+            x_feat = LayerScaleBlock(cfg.num_heads, cfg.mlp_ratio, drop=cfg.drop_rate,
+                                     attn_drop=cfg.attn_drop_rate, drop_path=cfg.drop_path_rate,
+                                     init_scale=cfg.init_scale, qkv_bias=cfg.qkv_bias,
+                                     dtype=self.dtype, name=f"blocks_det_{i}")(
+                x_feat, deterministic=deterministic)
+        x_feat = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm_det")(x_feat)
+
+        # class-attention token blocks; first block's attention map = CAM
+        first_attn = None
+        num_tokens = 1 + cfg.num_classes
+        for i in range(cfg.depth_token_only):
+            cls_tokens, attn = LayerScaleBlockClassAttn(
+                cfg.num_heads, num_tokens=num_tokens, mlp_ratio=cfg.mlp_ratio,
+                init_scale=cfg.init_scale, qkv_bias=cfg.qkv_bias, dtype=self.dtype,
+                name=f"blocks_token_only_{i}")(x, cls_tokens, deterministic=deterministic)
+            if i == 0:
+                first_attn = attn
+
+        tokens = jnp.concatenate([cls_tokens, x], axis=1)
+        tokens = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(tokens)
+
+        x_logits = nn.Dense(1, dtype=self.dtype, kernel_init=trunc_normal_init,
+                            name="cls_head")(tokens[:, 1:1 + cfg.num_classes])[..., 0]
+        x_cls_logits = nn.Dense(cfg.num_classes, dtype=self.dtype,
+                                kernel_init=trunc_normal_init,
+                                name="cls_head_multi_cls")(tokens[:, 0])
+
+        # CAM: first token block's attn (B, H, 1+C, 1+C+P) — class-token
+        # queries (1..C) attending to the patch keys (1+C..end), cait.py:827
+        cam = first_attn[:, :, 1:1 + cfg.num_classes, num_tokens:]
+        cam = std_reweighting(cam)  # (B, C, P)
+        cams_cls = cam.reshape(B, cfg.num_classes, gh, gw)
+
+        return {
+            "x_logits": x_logits.astype(jnp.float32),
+            "x_cls_logits": x_cls_logits.astype(jnp.float32),
+            "cams_cls": cams_cls,
+            "x_patch": x_feat.reshape(B, gh, gw, cfg.embed_dim),
+        }
+
+
+# ---------------------------------------------------------------------------
+# Registry (replaces the reference's ~20 timm @register_model factories,
+# cait.py:1335-1948; each returns (config, embed_dim))
+# ---------------------------------------------------------------------------
+
+def _cait(img_size, embed_dim, depth, num_heads, init_scale=1e-5, **kw) -> CaiTConfig:
+    return CaiTConfig(img_size=img_size, embed_dim=embed_dim, depth=depth,
+                      num_heads=num_heads, init_scale=init_scale, **kw)
+
+
+BACKBONE_REGISTRY = {
+    # the published recipe (cait.py:1631-1664)
+    "TSCAM_cait_XXS36_Two_Branch": lambda **kw: _cait(384, 192, 36, 4, **kw),
+    "TSCAM_cait_XXS24_Two_Branch": lambda **kw: _cait(384, 192, 24, 4, **kw),
+    "TSCAM_cait_XS24_Two_Branch": lambda **kw: _cait(384, 288, 24, 6, **kw),
+    "TSCAM_cait_S24_Two_Branch": lambda **kw: _cait(384, 384, 24, 8, **kw),
+    "TSCAM_cait_S36_Two_Branch": lambda **kw: _cait(384, 384, 36, 8, init_scale=1e-6, **kw),
+    "TSCAM_cait_M36_Two_Branch": lambda **kw: _cait(384, 768, 36, 16, init_scale=1e-6, **kw),
+    "TSCAM_cait_M48_Two_Branch": lambda **kw: _cait(448, 768, 48, 16, init_scale=1e-6, **kw),
+    # aliases without the explicit Two_Branch suffix map to the same config
+    # (the single-branch TSCAM_cait variants share dims; two-branch is live)
+    "TSCAM_cait_XXS24": lambda **kw: _cait(384, 192, 24, 4, **kw),
+    "TSCAM_cait_XXS36": lambda **kw: _cait(384, 192, 36, 4, **kw),
+}
+
+
+def build_cait_config(name: str, num_classes: int, layer_to_det: int,
+                      drop_rate: float = 0.0, attn_drop_rate: float = 0.0,
+                      drop_path_rate: float = 0.0) -> CaiTConfig:
+    if name not in BACKBONE_REGISTRY:
+        raise KeyError(f"unknown backbone '{name}'; have {sorted(BACKBONE_REGISTRY)}")
+    return BACKBONE_REGISTRY[name](
+        num_classes=num_classes, layer_to_det=layer_to_det, drop_rate=drop_rate,
+        attn_drop_rate=attn_drop_rate, drop_path_rate=drop_path_rate)

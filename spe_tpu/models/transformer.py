@@ -1,0 +1,234 @@
+"""Conditional DETR transformer (flax.linen, batch-first).
+
+Rebuild of reference models/transformer.py (encoder :253-310, conditional
+decoder layer :313-466, decoder :192-250, Transformer.forward_refine
+:122-160): one encoder pass over the patch sequence, then the SAME decoder
+run once per query-embedding set (base + each refinement set) over shared
+encoder memory.
+
+Conditional cross-attention (the core trick, transformer.py:386-419): at
+each decoder layer queries/keys are formed by concatenating a content half
+and a spatial half PER HEAD, so attention logits run at 2*d_model with
+head_dim doubled; values stay at d_model. The spatial half of q is
+sine(reference_point) scaled by an MLP of the decoder state (except layer 0
+where the transformation is identity, transformer.py:222-226).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from spe_tpu.models.attention import MultiheadAttention, ProjectionFreeAttention
+from spe_tpu.ops.embeds import gen_sineembed_for_position
+
+
+class MLP(nn.Module):
+    """num_layers-deep ReLU MLP (reference transformer.py:21-33)."""
+
+    hidden_dim: int
+    out_dim: int
+    num_layers: int
+    dtype: jnp.dtype = jnp.float32
+    final_zero_init: bool = False  # bbox head zero-init, conditional_detr.py:63-66
+
+    @nn.compact
+    def __call__(self, x):
+        for i in range(self.num_layers):
+            last = i == self.num_layers - 1
+            init = {}
+            if last and self.final_zero_init:
+                init = dict(kernel_init=nn.initializers.zeros,
+                            bias_init=nn.initializers.zeros)
+            x = nn.Dense(self.out_dim if last else self.hidden_dim,
+                         dtype=self.dtype, name=f"layers_{i}", **init)(x)
+            if not last:
+                x = nn.relu(x)
+        return x
+
+
+class TransformerEncoderLayer(nn.Module):
+    """Post-norm encoder layer with additive positional q/k
+    (reference transformer.py:253-310, normalize_before=False path)."""
+
+    num_heads: int
+    dim_feedforward: int
+    dropout: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, src, pos, *, key_padding_mask=None, deterministic=True):
+        q = k = src + pos
+        h = MultiheadAttention(self.num_heads, dropout=self.dropout, dtype=self.dtype,
+                               name="self_attn")(q, k, src,
+                                                 key_padding_mask=key_padding_mask,
+                                                 deterministic=deterministic)
+        src = src + nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        src = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(src)
+        h = nn.Dense(self.dim_feedforward, dtype=self.dtype, name="linear1")(src)
+        h = nn.Dropout(self.dropout)(nn.relu(h), deterministic=deterministic)
+        h = nn.Dense(src.shape[-1], dtype=self.dtype, name="linear2")(h)
+        src = src + nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        src = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(src)
+        return src
+
+
+class ConditionalDecoderLayer(nn.Module):
+    """Decoder layer: content/pos-projected self-attn + conditional
+    cross-attn at 2*d_model + FFN (reference transformer.py:313-427)."""
+
+    num_heads: int
+    dim_feedforward: int
+    dropout: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, tgt, memory, pos, query_pos, query_sine_embed, *,
+                 is_first: bool, key_padding_mask=None, deterministic=True):
+        D = tgt.shape[-1]
+        nh = self.num_heads
+
+        # ---- self-attention with separate content/pos projections ----
+        q = (nn.Dense(D, dtype=self.dtype, name="sa_qcontent_proj")(tgt)
+             + nn.Dense(D, dtype=self.dtype, name="sa_qpos_proj")(query_pos))
+        k = (nn.Dense(D, dtype=self.dtype, name="sa_kcontent_proj")(tgt)
+             + nn.Dense(D, dtype=self.dtype, name="sa_kpos_proj")(query_pos))
+        v = nn.Dense(D, dtype=self.dtype, name="sa_v_proj")(tgt)
+        h = ProjectionFreeAttention(nh, dropout=self.dropout, dtype=self.dtype,
+                                    name="self_attn")(q, k, v, deterministic=deterministic)
+        tgt = tgt + nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        tgt = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(tgt)
+
+        # ---- conditional cross-attention ----
+        q_content = nn.Dense(D, dtype=self.dtype, name="ca_qcontent_proj")(tgt)
+        k_content = nn.Dense(D, dtype=self.dtype, name="ca_kcontent_proj")(memory)
+        v = nn.Dense(D, dtype=self.dtype, name="ca_v_proj")(memory)
+        k_pos = nn.Dense(D, dtype=self.dtype, name="ca_kpos_proj")(pos)
+        if is_first:
+            # ca_qpos_proj exists only on the first layer (transformer.py:203-204)
+            q_pos = nn.Dense(D, dtype=self.dtype, name="ca_qpos_proj")(query_pos)
+            q_content = q_content + q_pos
+            k_content = k_content + k_pos
+
+        B, Q, _ = q_content.shape
+        hw = memory.shape[1]
+        sine = nn.Dense(D, dtype=self.dtype, name="ca_qpos_sine_proj")(query_sine_embed)
+        # concat per head: (B, N, nh, Dh) ++ (B, N, nh, Dh) -> (B, N, 2*D)
+        qq = jnp.concatenate([
+            q_content.reshape(B, Q, nh, D // nh), sine.reshape(B, Q, nh, D // nh)
+        ], axis=3).reshape(B, Q, 2 * D)
+        kk = jnp.concatenate([
+            k_content.reshape(B, hw, nh, D // nh), k_pos.reshape(B, hw, nh, D // nh)
+        ], axis=3).reshape(B, hw, 2 * D)
+        h = ProjectionFreeAttention(nh, dropout=self.dropout, dtype=self.dtype,
+                                    name="cross_attn")(qq, kk, v,
+                                                       key_padding_mask=key_padding_mask,
+                                                       deterministic=deterministic)
+        tgt = tgt + nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        tgt = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(tgt)
+
+        # ---- FFN ----
+        h = nn.Dense(self.dim_feedforward, dtype=self.dtype, name="linear1")(tgt)
+        h = nn.Dropout(self.dropout)(nn.relu(h), deterministic=deterministic)
+        h = nn.Dense(D, dtype=self.dtype, name="linear2")(h)
+        tgt = tgt + nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        tgt = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm3")(tgt)
+        return tgt
+
+
+class ConditionalDecoder(nn.Module):
+    """Decoder stack returning per-layer normed states + reference points
+    (reference TransformerDecoder, transformer.py:192-250)."""
+
+    num_layers: int
+    num_heads: int
+    dim_feedforward: int
+    d_model: int
+    dropout: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, tgt, memory, pos, query_pos, *, key_padding_mask=None,
+                 deterministic=True):
+        # reference points from query embeddings (transformer.py:216-217)
+        ref_before_sigmoid = MLP(self.d_model, 2, 2, dtype=self.dtype,
+                                 name="ref_point_head")(query_pos)
+        reference_points = nn.sigmoid(ref_before_sigmoid)  # (B, Q, 2)
+
+        query_scale = MLP(self.d_model, self.d_model, 2, dtype=self.dtype,
+                          name="query_scale")
+        output = tgt
+        intermediate = []
+        final_norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")
+        for layer_id in range(self.num_layers):
+            if layer_id == 0:
+                pos_transformation = 1.0
+            else:
+                pos_transformation = query_scale(output)
+            sine = gen_sineembed_for_position(reference_points, self.d_model)
+            sine = sine.astype(output.dtype) * pos_transformation
+            output = ConditionalDecoderLayer(
+                self.num_heads, self.dim_feedforward, dropout=self.dropout,
+                dtype=self.dtype, name=f"layers_{layer_id}")(
+                output, memory, pos, query_pos, sine,
+                is_first=(layer_id == 0), key_padding_mask=key_padding_mask,
+                deterministic=deterministic)
+            intermediate.append(final_norm(output))
+
+        hs = jnp.stack(intermediate)  # (L, B, Q, D)
+        return hs, reference_points
+
+
+class ConditionalTransformer(nn.Module):
+    """Encoder once + decoder per query set (reference forward_refine,
+    transformer.py:122-160)."""
+
+    d_model: int
+    num_heads: int = 8
+    num_queries: int = 300
+    num_encoder_layers: int = 6
+    num_decoder_layers: int = 6
+    dim_feedforward: int = 2048
+    dropout: float = 0.1
+    num_refines: int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, src, pos_embed, *, key_padding_mask=None, deterministic=True):
+        """src: (B, HW, D); pos_embed: (B, HW, D); mask (B, HW) True=pad.
+
+        Returns (hs_list, references_list), one entry per query set:
+          hs: (L, B, Q, D); references: (B, Q, 2).
+        """
+        B = src.shape[0]
+        memory = src
+        for i in range(self.num_encoder_layers):
+            memory = TransformerEncoderLayer(
+                self.num_heads, self.dim_feedforward, dropout=self.dropout,
+                dtype=self.dtype, name=f"encoder_layers_{i}")(
+                memory, pos_embed, key_padding_mask=key_padding_mask,
+                deterministic=deterministic)
+
+        decoder = ConditionalDecoder(
+            self.num_decoder_layers, self.num_heads, self.dim_feedforward,
+            self.d_model, dropout=self.dropout, dtype=self.dtype, name="decoder")
+
+        query_embeds = [self.param("query_embed", nn.initializers.normal(1.0),
+                                   (self.num_queries, self.d_model), jnp.float32)]
+        for r in range(self.num_refines):
+            query_embeds.append(self.param(
+                f"query_embed_refine_{r}", nn.initializers.normal(1.0),
+                (self.num_queries, self.d_model), jnp.float32))
+
+        hs_all, ref_all = [], []
+        for qe in query_embeds:
+            query_pos = jnp.broadcast_to(qe[None], (B,) + qe.shape).astype(src.dtype)
+            tgt = jnp.zeros_like(query_pos)
+            hs, refs = decoder(tgt, memory, pos_embed, query_pos,
+                               key_padding_mask=key_padding_mask,
+                               deterministic=deterministic)
+            hs_all.append(hs)
+            ref_all.append(refs)
+        return hs_all, ref_all

@@ -1,0 +1,238 @@
+"""Set criterion: box-repeat jitter -> assignment -> focal/L1/GIoU losses.
+
+Fixed-shape, fully on-device rebuild of the reference's SetCriterion /
+SetCriterionRefine (models/conditional_detr.py:190-589) + HungarianMatcher
+(models/matcher.py:20-88). Targets are padded arrays with masks:
+
+  targets = {"boxes": (B, T, 4) cxcywh in [0,1],
+             "labels": (B, T) int32 det-class column indices,
+             "scores": (B, T) float (refine stages; ones otherwise),
+             "mask":  (B, T) bool}
+
+Differences from the reference, by design:
+  * the box-repeat augmentation (conditional_detr.py:409-431) samples a
+    fixed pool of K candidates per box and keeps the first ratio-1 with
+    IoU > 0.7 instead of sampling 1000 on CPU — same acceptance rule,
+    fixed shapes;
+  * matching runs the on-device auction (ops/assignment.py) instead of a
+    scipy host round trip; `assignment='hungarian_cpu'` restores the exact
+    host solver via pure_callback;
+  * num_boxes arrives as an argument — the caller psums it across the data
+    mesh (reference all_reduces at conditional_detr.py:435-440).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from spe_tpu.ops import boxes as box_ops
+from spe_tpu.ops.assignment import auction_assignment, hungarian_callback
+from spe_tpu.ops.losses import image_label_bce, weighted_sigmoid_focal_loss
+
+
+# ---------------------------------------------------------------------------
+# Box-repeat jitter augmentation (conditional_detr.py:409-431)
+# ---------------------------------------------------------------------------
+
+def jitter_repeat_targets(targets: Dict[str, jnp.ndarray], rng: jax.Array,
+                          ratio: int, box_jitter: float,
+                          num_candidates: int = 64) -> Dict[str, jnp.ndarray]:
+    """Repeat each target `ratio` times: first ratio-1 slots are scale-jittered
+    copies with IoU > 0.7 (falling back to the original when too few
+    candidates pass, like the reference), the last slot is the original."""
+    B, T = targets["labels"].shape
+    boxes = targets["boxes"]
+
+    def per_box(box, key):
+        scale = jax.random.uniform(key, (num_candidates, 4),
+                                   minval=1 - box_jitter, maxval=1 + box_jitter)
+        cand = box[None] * scale
+        iou = box_ops.box_iou_aligned(
+            box_ops.box_cxcywh_to_xyxy(cand),
+            jnp.broadcast_to(box_ops.box_cxcywh_to_xyxy(box)[None], (num_candidates, 4)))
+        ok = iou > 0.7
+        # stable order: first valid candidates first
+        order = jnp.argsort(jnp.where(ok, jnp.arange(num_candidates),
+                                      num_candidates + jnp.arange(num_candidates)))
+        picked = cand[order[: ratio - 1]]
+        picked_ok = ok[order[: ratio - 1]]
+        jittered = jnp.where(picked_ok[:, None], picked, box[None])
+        return jnp.concatenate([jittered, box[None]], axis=0)  # (ratio, 4)
+
+    keys = jax.random.split(rng, B * T).reshape(B, T, 2)
+    rep_boxes = jax.vmap(jax.vmap(per_box))(boxes, keys)        # (B, T, ratio, 4)
+    out = {
+        "boxes": rep_boxes.reshape(B, T * ratio, 4),
+        "labels": jnp.repeat(targets["labels"], ratio, axis=1),
+        "mask": jnp.repeat(targets["mask"], ratio, axis=1),
+    }
+    if "scores" in targets:
+        out["scores"] = jnp.repeat(targets["scores"], ratio, axis=1)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Matcher cost (models/matcher.py:59-87; alpha/gamma hardcoded there)
+# ---------------------------------------------------------------------------
+
+def matcher_cost(pred_logits: jnp.ndarray, pred_boxes: jnp.ndarray,
+                 tgt_labels: jnp.ndarray, tgt_boxes: jnp.ndarray,
+                 tgt_mask: jnp.ndarray,
+                 cost_class: float = 2.0, cost_bbox: float = 5.0,
+                 cost_giou: float = 2.0) -> jnp.ndarray:
+    """Per-image cost matrix (Q, T)."""
+    prob = jax.nn.sigmoid(pred_logits.astype(jnp.float32))  # (Q, K)
+    alpha, gamma = 0.25, 2.0
+    neg = (1 - alpha) * (prob ** gamma) * (-jnp.log(1 - prob + 1e-8))
+    pos = alpha * ((1 - prob) ** gamma) * (-jnp.log(prob + 1e-8))
+    ids = jnp.clip(tgt_labels, 0, prob.shape[-1] - 1)
+    c_class = pos[:, ids] - neg[:, ids]                      # (Q, T)
+
+    c_bbox = jnp.abs(pred_boxes[:, None, :] - tgt_boxes[None, :, :]).sum(-1)
+    c_giou = -box_ops.generalized_box_iou_pairwise(
+        box_ops.box_cxcywh_to_xyxy(pred_boxes),
+        box_ops.box_cxcywh_to_xyxy(tgt_boxes))
+    cost = cost_bbox * c_bbox + cost_class * c_class + cost_giou * c_giou
+    # padded target columns get a flat high cost so they absorb arbitrary
+    # leftover queries without perturbing real matches
+    return jnp.where(tgt_mask[None, :], cost, 1e4)
+
+
+def match(pred_logits, pred_boxes, targets, *, method: str = "auction",
+          cost_class: float = 2.0, cost_bbox: float = 5.0, cost_giou: float = 2.0):
+    """Batched assignment: returns row_for_col (B, T) query index per target."""
+    cost = jax.vmap(lambda lg, bx, lb, tb, m: matcher_cost(
+        lg, bx, lb, tb, m, cost_class, cost_bbox, cost_giou))(
+        pred_logits, pred_boxes, targets["labels"], targets["boxes"], targets["mask"])
+    solver = hungarian_callback if method == "hungarian_cpu" else auction_assignment
+    row_for_col, _ = jax.vmap(solver)(cost, targets["mask"])
+    return row_for_col
+
+
+# ---------------------------------------------------------------------------
+# Losses
+# ---------------------------------------------------------------------------
+
+def _layer_losses(pred_logits, pred_boxes, targets, row_for_col, num_boxes,
+                  *, focal_alpha, focal_gamma, refine_weights: bool):
+    """Losses for one (set of) decoder layer outputs.
+
+    pred_logits (B, Q, K), pred_boxes (B, Q, 4); targets as module docstring;
+    row_for_col (B, T).
+    """
+    B, Q, K = pred_logits.shape
+    T = row_for_col.shape[1]
+    mask = targets["mask"]
+    maskf = mask.astype(jnp.float32)
+    labels = jnp.clip(targets["labels"], 0, K - 1)
+
+    # --- classification: one-hot targets scattered at matched queries ---
+    onehot = jnp.zeros((B, Q, K), jnp.float32)
+    b_idx = jnp.broadcast_to(jnp.arange(B)[:, None], (B, T))
+    q_idx = jnp.where(mask, row_for_col, Q)  # padded -> dropped
+    onehot = onehot.at[b_idx, q_idx, labels].set(1.0, mode="drop")
+
+    if refine_weights:
+        scores = targets["scores"]
+        avg_score = (scores * maskf).sum(1) / jnp.maximum(maskf.sum(1), 1.0)
+        weights = jnp.ones((B, Q, K), jnp.float32) * avg_score[:, None, None]
+        # matched queries: weight = min(3*score, 1) across all classes
+        # (conditional_detr.py:524-529)
+        wvals = jnp.clip(scores * 3.0, None, 1.0)
+        qw = jnp.ones((B, Q), jnp.float32) * avg_score[:, None]
+        qw = qw.at[b_idx, q_idx].set(jnp.where(mask, wvals, 0.0), mode="drop")
+        weights = jnp.broadcast_to(qw[:, :, None], (B, Q, K))
+    else:
+        weights = jnp.ones((B, Q, K), jnp.float32)
+
+    loss_ce = weighted_sigmoid_focal_loss(
+        pred_logits.astype(jnp.float32), onehot, num_boxes, weights,
+        alpha=focal_alpha, gamma=focal_gamma) * Q
+
+    # --- boxes: gather matched pairs ---
+    src_boxes = jnp.take_along_axis(
+        pred_boxes.astype(jnp.float32),
+        jnp.clip(row_for_col, 0, Q - 1)[:, :, None], axis=1)  # (B, T, 4)
+    tgt_boxes = targets["boxes"].astype(jnp.float32)
+    pair_w = targets.get("scores") if refine_weights else None
+
+    l1 = jnp.abs(src_boxes - tgt_boxes).sum(-1)
+    giou = box_ops.generalized_box_iou_aligned(
+        box_ops.box_cxcywh_to_xyxy(src_boxes), box_ops.box_cxcywh_to_xyxy(tgt_boxes))
+    lg = 1.0 - giou
+    if pair_w is not None:
+        l1 = l1 * pair_w
+        lg = lg * pair_w
+    loss_bbox = (l1 * maskf).sum() / num_boxes
+    loss_giou = (lg * maskf).sum() / num_boxes
+
+    # --- cardinality (logging only, conditional_detr.py:286-298) ---
+    card_pred = (jnp.argmax(pred_logits, -1) != K - 1).sum(-1).astype(jnp.float32)
+    card_err = jnp.abs(card_pred - maskf.sum(1)).mean()
+
+    return {"loss_ce": loss_ce, "loss_bbox": loss_bbox, "loss_giou": loss_giou,
+            "cardinality_error": card_err}
+
+
+def set_criterion(stage_out: Dict[str, jnp.ndarray], targets: Dict[str, jnp.ndarray],
+                  rng: Optional[jax.Array], num_boxes: jnp.ndarray, *,
+                  hung_match_ratio: int = 5, box_jitter: float = 0.1,
+                  focal_alpha: float = 0.25, focal_gamma: float = 2.0,
+                  cost_class: float = 2.0, cost_bbox: float = 5.0,
+                  cost_giou: float = 2.0, refine_weights: bool = False,
+                  assignment: str = "auction",
+                  training: bool = True) -> Dict[str, jnp.ndarray]:
+    """Full criterion for one refine stage incl. aux decoder layers.
+
+    stage_out: {pred_logits, pred_boxes, aux_pred_logits (L-1,B,Q,K),
+                aux_pred_boxes}. Aux layers are re-matched independently
+    (conditional_detr.py:447-464); aux losses get `_{i}` suffixes.
+
+    `num_boxes` must already be the cross-replica normalizer
+    (max(total_repeated_boxes/world, 1) semantics — see train_step).
+    """
+    if training and rng is not None:
+        targets = jitter_repeat_targets(targets, rng, hung_match_ratio, box_jitter)
+
+    # stack final + aux layers: (L, B, Q, ...) with final at index -1
+    logits = jnp.concatenate(
+        [stage_out["aux_pred_logits"], stage_out["pred_logits"][None]], axis=0)
+    boxes = jnp.concatenate(
+        [stage_out["aux_pred_boxes"], stage_out["pred_boxes"][None]], axis=0)
+
+    def one_layer(lg, bx):
+        row = match(lg, bx, targets, method=assignment, cost_class=cost_class,
+                    cost_bbox=cost_bbox, cost_giou=cost_giou)
+        return _layer_losses(lg, bx, targets, row, num_boxes,
+                             focal_alpha=focal_alpha, focal_gamma=focal_gamma,
+                             refine_weights=refine_weights)
+
+    per_layer = jax.vmap(one_layer)(logits, boxes)  # dict of (L,)
+    L = logits.shape[0]
+    out = {}
+    for k, v in per_layer.items():
+        out[k] = v[-1]
+        if k != "cardinality_error":
+            for i in range(L - 1):
+                out[f"{k}_{i}"] = v[i]
+    return out
+
+
+def repeated_num_boxes(targets: Dict[str, jnp.ndarray], ratio: int) -> jnp.ndarray:
+    """Local contribution to the num_boxes normalizer (pre-psum)."""
+    return targets["mask"].astype(jnp.float32).sum() * ratio
+
+
+def image_label_losses(backbone_out: Dict[str, jnp.ndarray],
+                       img_label: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+    """Multilabel BCE heads (conditional_detr.py:225-235)."""
+    return {
+        "img_label_logits": image_label_bce(
+            backbone_out["x_logits"].astype(jnp.float32), img_label),
+        "img_label_logits_tokens": image_label_bce(
+            backbone_out["x_cls_logits"].astype(jnp.float32), img_label),
+    }
