@@ -1,0 +1,132 @@
+"""Unified training/eval driver.
+
+Replaces the reference's duplicated main.py / main_coco.py (~60 argparse
+flags each, drifting seeds) and the scripts/run_*.py launch wrappers with
+one driver + presets:
+
+  python -m spe_tpu.cli.main --preset voc0712 --coco_path ... --test_path ...
+  python -m spe_tpu.cli.main --preset coco17 --coco_path ...
+  python -m spe_tpu.cli.main --preset voc0712 --dataset_file synthetic \
+      --dataset_eval synthetic --max_size 128 ...   # no-data smoke run
+
+Flag names keep parity with reference main.py:35-147.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def main(argv=None):
+    from spe_tpu.utils.jax_setup import setup
+
+    setup()
+    import jax
+    import jax.numpy as jnp
+
+    from spe_tpu.config import config_from_args
+    from spe_tpu.data.build import build_dataset
+    from spe_tpu.data.loader import DataLoader
+    from spe_tpu.models.build import build_model
+    from spe_tpu.parallel.mesh import make_mesh, replicated
+    from spe_tpu.train import engine
+    from spe_tpu.train.checkpoint import restore_checkpoint, save_checkpoint
+    from spe_tpu.train.optim import make_optimizer
+    from spe_tpu.train.train_step import Gates, TrainState, make_train_step
+
+    cfg = config_from_args(argv)
+    print(cfg)
+
+    rng = jax.random.PRNGKey(cfg.seed + jax.process_index())
+    np.random.seed(cfg.seed + jax.process_index())
+
+    model = build_model(cfg)
+    mesh = make_mesh()
+    n_dev = len(jax.devices())
+
+    ds_train = build_dataset("train", cfg.dataset_file, cfg)
+    ds_val = build_dataset("val", cfg.dataset_eval, cfg)
+    fixed = cfg.max_size if cfg.fixed_size else None
+    loader_train = DataLoader(ds_train, cfg.batch_size, cfg.num_classes,
+                              fixed_size=fixed, seed=cfg.seed,
+                              process_index=jax.process_index(),
+                              process_count=jax.process_count())
+    loader_val = DataLoader(ds_val, cfg.batch_size, cfg.num_classes,
+                            fixed_size=fixed, shuffle=False, drop_last=False)
+
+    sample = jnp.zeros((1, cfg.max_size if cfg.fixed_size else 512,
+                        cfg.max_size if cfg.fixed_size else 512, 3), jnp.float32)
+    params = jax.jit(lambda: model.init(jax.random.PRNGKey(cfg.seed), sample))()
+    n_params = sum(p.size for p in jax.tree_util.tree_leaves(params))
+    print(f"number of params: {n_params}")
+
+    steps_per_epoch = max(loader_train.steps_per_epoch(), 1)
+    tx = make_optimizer(cfg, steps_per_epoch, params)
+    state = TrainState(jnp.int32(0), params, tx.init(params))
+
+    start_epoch = cfg.start_epoch
+    if cfg.resume:
+        state, last_epoch = restore_checkpoint(cfg.resume, state)
+        if not cfg.eval:
+            start_epoch = last_epoch + 1
+        print(f"resumed from {cfg.resume} (epoch {last_epoch})")
+
+    rep = replicated(mesh)
+    state = jax.device_put(state, rep)
+    step_fn = jax.jit(make_train_step(model, cfg, tx, num_devices=n_dev),
+                      out_shardings=(rep, rep), donate_argnums=(0,))
+
+    def run_eval(params):
+        if cfg.dataset_eval == "voc_voc":
+            stats = engine.evaluate_voc(model, params, loader_val, ds_val, cfg,
+                                        with_flip=cfg.eval)
+            print(f"VOC mAP: {stats['mAP']:.4f}  CorLoc: {stats['CorLoc']:.4f}")
+        else:
+            gt = (ds_val.coco_gt() if hasattr(ds_val, "coco_gt") else ds_val.raw)
+            stats = engine.evaluate_coco(model, params, loader_val, gt, cfg)
+            print("COCO eval:", {k: round(v, 4) for k, v in stats.items()})
+        return stats
+
+    if cfg.eval:
+        stats = run_eval(state.params)
+        return stats
+
+    output_dir = Path(cfg.output_dir) if cfg.output_dir else None
+    if output_dir:
+        output_dir.mkdir(parents=True, exist_ok=True)
+
+    print("Start training")
+    best_key, best_val = None, -1.0
+    t_start = time.time()
+    for epoch in range(start_epoch, cfg.epochs):
+        gates = Gates.for_epoch(cfg, epoch)
+        state, train_stats = engine.train_one_epoch(
+            step_fn, state, loader_train, epoch, cfg, gates,
+            jax.random.fold_in(rng, epoch), mesh=mesh)
+
+        if jax.process_index() == 0:
+            eval_stats = run_eval(state.params)
+            if output_dir:
+                save_checkpoint(output_dir / "checkpoint", state, epoch, cfg)
+                save_checkpoint(output_dir / f"checkpoint{epoch:04d}", state, epoch, cfg)
+                key = "AP50" if "AP50" in eval_stats else "mAP"
+                if eval_stats.get(key, -1) > best_val:
+                    best_val = eval_stats[key]
+                    save_checkpoint(output_dir / "checkpoint_best", state, epoch, cfg)
+                log = {**{f"train_{k}": v for k, v in train_stats.items()},
+                       **{f"test_{k}": v for k, v in eval_stats.items()
+                          if isinstance(v, (int, float))},
+                       "epoch": epoch, "n_parameters": int(n_params)}
+                with (output_dir / "log.txt").open("a") as f:
+                    f.write(json.dumps(log) + "\n")
+    print(f"Training time {time.time() - t_start:.0f}s")
+    return state
+
+
+if __name__ == "__main__":
+    main()

@@ -234,7 +234,11 @@ _SKIP = {"mesh_axes", "mesh_shape", "aux_loss"}
 
 
 def build_arg_parser(defaults: Optional[SPEConfig] = None) -> argparse.ArgumentParser:
-    """Argparse surface matching reference main.py:35-147 (plus TPU knobs)."""
+    """Argparse surface matching reference main.py:35-147 (plus TPU knobs).
+
+    All flags default to SUPPRESS: only user-provided flags override the
+    preset/base config.
+    """
     cfg = defaults or SPEConfig()
     p = argparse.ArgumentParser("SPE-TPU detector", add_help=False)
     p.add_argument("--preset", default=None, choices=sorted(PRESETS.keys()))
@@ -245,30 +249,27 @@ def build_arg_parser(defaults: Optional[SPEConfig] = None) -> argparse.ArgumentP
         flag = f"--{name}"
         default = getattr(cfg, name)
         if name in _STORE_TRUE:
-            p.add_argument(flag, action="store_true", default=default)
+            p.add_argument(flag, action="store_true", default=argparse.SUPPRESS)
         elif f.type in ("Optional[str]", "str") or isinstance(default, str) or default is None:
-            p.add_argument(flag, type=str, default=default)
+            p.add_argument(flag, type=str, default=argparse.SUPPRESS)
         elif isinstance(default, bool):
-            p.add_argument(flag, type=lambda s: s.lower() in ("1", "true"), default=default)
+            p.add_argument(flag, type=lambda s: s.lower() in ("1", "true"),
+                           default=argparse.SUPPRESS)
         elif isinstance(default, int):
-            p.add_argument(flag, type=int, default=default)
+            p.add_argument(flag, type=int, default=argparse.SUPPRESS)
         elif isinstance(default, float):
-            p.add_argument(flag, type=float, default=default)
+            p.add_argument(flag, type=float, default=argparse.SUPPRESS)
     # reference-compat alias: --no_aux_loss disables aux losses (main.py:89-90)
-    p.add_argument("--no_aux_loss", dest="aux_loss", action="store_false", default=cfg.aux_loss)
+    p.add_argument("--no_aux_loss", dest="aux_loss", action="store_false",
+                   default=argparse.SUPPRESS)
     return p
 
 
 def config_from_args(argv=None) -> SPEConfig:
     parser = argparse.ArgumentParser(parents=[build_arg_parser()])
     args = parser.parse_args(argv)
-    base = PRESETS[args.preset]() if args.preset else SPEConfig()
-    # apply only flags the user actually provided
-    provided = {}
-    sentinel = parser.parse_args([] if args.preset is None else ["--preset", args.preset])
-    for name in _FLAG_FIELDS:
-        if not hasattr(args, name):
-            continue
-        if getattr(args, name) != getattr(sentinel, name):
-            provided[name] = getattr(args, name)
+    preset = getattr(args, "preset", None)
+    base = PRESETS[preset]() if preset else SPEConfig()
+    provided = {k: v for k, v in vars(args).items()
+                if k in _FLAG_FIELDS and k != "preset"}
     return base.replace(**provided)

@@ -1,0 +1,122 @@
+"""VOC detection mAP + CorLoc evaluation (pure numpy).
+
+Rebuilds of reference datasets/voc_eval.py (classic VOC PR/AP with
+difficult-box handling and the 11-point or AUC metric, :26-205) and
+datasets/dis_eval.py (CorLoc: fraction of class-containing images whose
+top-scoring box hits a GT at IoU > 0.5, :26-151).
+
+Inputs are plain arrays instead of devkit result files: per class, a list of
+(image_key, score, box_xyxy); ground truth as {image_key: (boxes, difficult)}.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Sequence, Tuple
+
+import numpy as np
+
+
+def voc_ap(rec: np.ndarray, prec: np.ndarray, use_07_metric: bool = True) -> float:
+    if use_07_metric:
+        ap = 0.0
+        for t in np.arange(0.0, 1.1, 0.1):
+            p = float(np.max(prec[rec >= t])) if np.any(rec >= t) else 0.0
+            ap += p / 11.0
+        return ap
+    mrec = np.concatenate([[0.0], rec, [1.0]])
+    mpre = np.concatenate([[0.0], prec, [0.0]])
+    for i in range(len(mpre) - 1, 0, -1):
+        mpre[i - 1] = max(mpre[i - 1], mpre[i])
+    idx = np.where(mrec[1:] != mrec[:-1])[0]
+    return float(((mrec[idx + 1] - mrec[idx]) * mpre[idx + 1]).sum())
+
+
+def _iou_one_to_many(box: np.ndarray, gts: np.ndarray) -> np.ndarray:
+    """VOC-style IoU with +1 pixel convention (voc_eval.py)."""
+    ixmin = np.maximum(gts[:, 0], box[0])
+    iymin = np.maximum(gts[:, 1], box[1])
+    ixmax = np.minimum(gts[:, 2], box[2])
+    iymax = np.minimum(gts[:, 3], box[3])
+    iw = np.maximum(ixmax - ixmin + 1.0, 0.0)
+    ih = np.maximum(iymax - iymin + 1.0, 0.0)
+    inter = iw * ih
+    uni = ((box[2] - box[0] + 1.0) * (box[3] - box[1] + 1.0)
+           + (gts[:, 2] - gts[:, 0] + 1.0) * (gts[:, 3] - gts[:, 1] + 1.0) - inter)
+    return inter / np.maximum(uni, 1e-12)
+
+
+def voc_eval_class(detections: Sequence[Tuple], gt: Dict, ovthresh: float = 0.5,
+                   use_07_metric: bool = True) -> Tuple[np.ndarray, np.ndarray, float]:
+    """One class.
+
+    detections: sequence of (image_key, score, box_xyxy[4]).
+    gt: {image_key: (boxes (N,4), difficult (N,) bool)} — only images that
+        contain the class need entries.
+    Returns (recall, precision, ap).
+    """
+    npos = sum(int((~d).sum()) for _, (_, d) in gt.items())
+    matched = {k: np.zeros(len(b), bool) for k, (b, _) in gt.items()}
+
+    dets = sorted(detections, key=lambda d: -d[1])
+    nd = len(dets)
+    tp = np.zeros(nd)
+    fp = np.zeros(nd)
+    for i, (key, score, box) in enumerate(dets):
+        if key not in gt or len(gt[key][0]) == 0:
+            fp[i] = 1.0
+            continue
+        boxes, difficult = gt[key]
+        overlaps = _iou_one_to_many(np.asarray(box, np.float64), boxes)
+        j = int(np.argmax(overlaps))
+        if overlaps[j] > ovthresh:
+            if not difficult[j]:
+                if not matched[key][j]:
+                    tp[i] = 1.0
+                    matched[key][j] = True
+                else:
+                    fp[i] = 1.0
+        else:
+            fp[i] = 1.0
+
+    tp_c = np.cumsum(tp)
+    fp_c = np.cumsum(fp)
+    rec = tp_c / max(npos, 1)
+    prec = tp_c / np.maximum(tp_c + fp_c, np.finfo(np.float64).eps)
+    return rec, prec, voc_ap(rec, prec, use_07_metric)
+
+
+def voc_eval_all(all_dets: Dict[int, List[Tuple]], all_gt: Dict[int, Dict],
+                 ovthresh: float = 0.5, use_07_metric: bool = True) -> Dict:
+    """all_dets[class] = [(image_key, score, box)], all_gt[class] = gt dict."""
+    aps = {}
+    for cls, dets in all_dets.items():
+        _, _, ap = voc_eval_class(dets, all_gt.get(cls, {}), ovthresh, use_07_metric)
+        aps[cls] = ap
+    return {"ap_per_class": aps,
+            "mAP": float(np.mean(list(aps.values()))) if aps else 0.0}
+
+
+def corloc(top_boxes: Dict[int, Dict], all_gt: Dict[int, Dict]) -> Dict:
+    """CorLoc (reference dis_eval.py:26-151).
+
+    top_boxes[class] = {image_key: box_xyxy} — the single top-scoring box
+    per image for that class. all_gt[class] = {image_key: (boxes, difficult)}.
+    Per class: fraction of class-containing images whose top box overlaps a
+    GT at IoU > 0.5.
+    """
+    per_class = {}
+    for cls, gt in all_gt.items():
+        imgs = [k for k, (b, _) in gt.items() if len(b)]
+        if not imgs:
+            continue
+        correct = 0
+        for k in imgs:
+            box = top_boxes.get(cls, {}).get(k)
+            if box is None:
+                continue
+            boxes, _ = gt[k]
+            if len(boxes) and _iou_one_to_many(np.asarray(box, np.float64), boxes).max() > 0.5:
+                correct += 1
+        per_class[cls] = correct / len(imgs)
+    return {"corloc_per_class": per_class,
+            "CorLoc": float(np.mean(list(per_class.values()))) if per_class else 0.0}

@@ -239,6 +239,8 @@ BACKBONE_REGISTRY = {
     # (the single-branch TSCAM_cait variants share dims; two-branch is live)
     "TSCAM_cait_XXS24": lambda **kw: _cait(384, 192, 24, 4, **kw),
     "TSCAM_cait_XXS36": lambda **kw: _cait(384, 192, 36, 4, **kw),
+    # tiny config for smoke tests / CI (no reference analog)
+    "TSCAM_cait_tiny": lambda **kw: _cait(64, 32, 4, 2, **kw),
 }
 
 

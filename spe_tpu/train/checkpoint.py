@@ -1,0 +1,44 @@
+"""Orbax checkpointing (replaces torch.save of {model, optimizer,
+lr_scheduler, epoch, args}, reference main.py:259-269 / resume :223-233)."""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from pathlib import Path
+from typing import Any, Optional, Tuple
+
+import jax
+import orbax.checkpoint as ocp
+
+from spe_tpu.config import SPEConfig
+from spe_tpu.train.train_step import TrainState
+
+
+def save_checkpoint(path, state: TrainState, epoch: int, cfg: SPEConfig) -> None:
+    path = Path(path).resolve()
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path / "state", dataclasses.asdict(state)
+               if dataclasses.is_dataclass(state) else state._asdict(), force=True)
+    ckptr.wait_until_finished()
+    meta = {"epoch": epoch, "config": dataclasses.asdict(cfg)}
+    (path / "meta.json").write_text(json.dumps(_jsonable(meta)))
+
+
+def _jsonable(x):
+    if isinstance(x, dict):
+        return {k: _jsonable(v) for k, v in x.items()}
+    if isinstance(x, (list, tuple)):
+        return [_jsonable(v) for v in x]
+    if isinstance(x, (str, int, float, bool)) or x is None:
+        return x
+    return str(x)
+
+
+def restore_checkpoint(path, state: TrainState) -> Tuple[TrainState, int]:
+    """Restore into the given abstract/concrete state; returns (state, epoch)."""
+    path = Path(path).resolve()
+    ckptr = ocp.StandardCheckpointer()
+    restored = ckptr.restore(path / "state", target=state._asdict())
+    meta = json.loads((path / "meta.json").read_text())
+    return TrainState(**restored), int(meta["epoch"])

@@ -1,0 +1,171 @@
+"""Train / eval loops (reference engine.py + engine_loc.py).
+
+train_one_epoch: iterate the loader, run the single jitted train step
+(forward + pseudo-labels + criteria + update all fused), log metrics.
+The reference's per-step host work (cv2 CAM boxes, scipy matching, python
+postprocess loops) is gone — the host only feeds batches and reads scalars.
+
+evaluate_coco: reference `evaluate_refinements` (engine.py:616-724): the
+eval head is outputs[stage]['aux_outputs'][-1] — i.e. the SECOND-TO-LAST
+decoder layer (aux excludes the final layer) — then top-100 postprocess,
+per-class NMS@0.5 on device, host-side COCO accumulation.
+
+evaluate_voc: reference `evaluate_det_voc` (engine_loc.py:126-201): stage-0
+final layer, optional horizontal-flip TTA merged via decouple (flip x,
+elementwise-max image logits, concat query sets), top-300, NMS, VOC mAP +
+CorLoc.
+"""
+
+from __future__ import annotations
+
+import sys
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spe_tpu.config import SPEConfig
+from spe_tpu.data.coco_eval import CocoEvaluator
+from spe_tpu.data.voc_eval import corloc, voc_eval_all
+from spe_tpu.ops.nms import batched_nms
+from spe_tpu.ops.postprocess import postprocess_topk
+from spe_tpu.utils.logging import MetricLogger
+
+
+def train_one_epoch(step_fn, state, loader, epoch: int, cfg: SPEConfig,
+                    gates, rng, mesh=None, print_freq: int = 100,
+                    logger: Optional[MetricLogger] = None):
+    """Returns (state, stats dict)."""
+    from spe_tpu.parallel.mesh import shard_batch
+
+    metric = logger or MetricLogger()
+    total = loader.steps_per_epoch()
+    for i, batch in enumerate(metric.log_every(
+            loader.epoch(epoch), print_freq, header=f"Epoch [{epoch}]", total=total)):
+        batch = {k: jnp.asarray(v) for k, v in batch.items()
+                 if k in ("images", "pad_mask", "img_label")}
+        if mesh is not None:
+            batch = shard_batch(mesh, batch)
+        state, metrics = step_fn(state, batch, jax.random.fold_in(rng, i), gates)
+        if i % print_freq == 0:
+            # host sync only at print boundaries
+            loss = float(metrics["loss"])
+            if not np.isfinite(loss):
+                # fail-fast like the reference (engine.py:156-159)
+                print(f"Loss is {loss}, stopping training")
+                sys.exit(1)
+            metric.update(loss=loss,
+                          loss_ce=float(metrics.get("loss_ce", 0.0)),
+                          loss_bbox=float(metrics.get("loss_bbox", 0.0)),
+                          loss_giou=float(metrics.get("loss_giou", 0.0)),
+                          grad_norm=float(metrics.get("grad_norm", 0.0)))
+    metric.synchronize_between_processes()
+    return state, {k: m.global_avg for k, m in metric.meters.items()}
+
+
+# ---------------------------------------------------------------------------
+# Eval
+# ---------------------------------------------------------------------------
+
+def _eval_outputs(model, params, batch, *, refine_stage: int, use_aux_layer: bool):
+    out = model.apply(params, batch["images"], pad_mask=batch.get("pad_mask"),
+                      deterministic=True)
+    st = out["stages"][refine_stage]
+    if use_aux_layer:
+        # aux[-1] = second-to-last decoder layer (engine.py:642)
+        return {"pred_logits": st["aux_pred_logits"][-1],
+                "pred_boxes": st["aux_pred_boxes"][-1]}, out
+    return {"pred_logits": st["pred_logits"], "pred_boxes": st["pred_boxes"]}, out
+
+
+def evaluate_coco(model, params, loader, gt_coco: Dict, cfg: SPEConfig,
+                  refine_stage: int = 0, keep: int = 100,
+                  nms_iou: float = 0.5) -> Dict[str, float]:
+    evaluator = CocoEvaluator(gt_coco)
+
+    @jax.jit
+    def infer(params, images, pad_mask, orig_sizes):
+        outs, _ = _eval_outputs(model, params,
+                                {"images": images, "pad_mask": pad_mask},
+                                refine_stage=refine_stage, use_aux_layer=True)
+        res = postprocess_topk(outs["pred_logits"], outs["pred_boxes"],
+                               orig_sizes.astype(jnp.float32), keep_queries=keep)
+        keep_mask = batched_nms(res["boxes"], res["scores"], res["labels"],
+                                jnp.ones_like(res["scores"], bool), nms_iou)
+        return res, keep_mask
+
+    for batch in loader.epoch(0):
+        res, keep_mask = infer(params, jnp.asarray(batch["images"]),
+                               jnp.asarray(batch["pad_mask"]),
+                               jnp.asarray(batch["orig_size"]))
+        evaluator.update_from_arrays(
+            batch["image_id"], np.asarray(res["boxes"]), np.asarray(res["scores"]),
+            np.asarray(res["labels"]), np.asarray(keep_mask))
+    return evaluator.summarize()
+
+
+def _flip_merge(out_n, out_f):
+    """decouple_output (engine_loc.py:99-124): flip x back, concat queries."""
+    boxes_f = out_f["pred_boxes"].at[..., 0].set(1.0 - out_f["pred_boxes"][..., 0])
+    return {
+        "pred_logits": jnp.concatenate([out_n["pred_logits"], out_f["pred_logits"]], axis=1),
+        "pred_boxes": jnp.concatenate([out_n["pred_boxes"], boxes_f], axis=1),
+    }
+
+
+def evaluate_voc(model, params, loader, dataset, cfg: SPEConfig,
+                 refine_stage: int = 0, with_flip: bool = False,
+                 keep: int = 300, nms_iou: float = 0.5,
+                 use_07_metric: bool = True) -> Dict[str, float]:
+    """VOC mAP + CorLoc over a VOCDevkitDataset."""
+    num_classes = len(dataset.classes)
+    all_dets = {c + 1: [] for c in range(num_classes)}
+    top_boxes = {c + 1: {} for c in range(num_classes)}
+    top_scores = {c + 1: {} for c in range(num_classes)}
+
+    @jax.jit
+    def infer(params, images, pad_mask, sizes):
+        outs, _ = _eval_outputs(model, params,
+                                {"images": images, "pad_mask": pad_mask},
+                                refine_stage=refine_stage, use_aux_layer=False)
+        if with_flip:
+            outs_f, _ = _eval_outputs(
+                model, params,
+                {"images": images[:, :, ::-1, :], "pad_mask": pad_mask[:, :, ::-1]},
+                refine_stage=refine_stage, use_aux_layer=False)
+            outs = _flip_merge(outs, outs_f)
+        res = postprocess_topk(outs["pred_logits"], outs["pred_boxes"],
+                               sizes.astype(jnp.float32), keep_queries=keep)
+        keep_mask = batched_nms(res["boxes"], res["scores"], res["labels"],
+                                jnp.ones_like(res["scores"], bool), nms_iou)
+        return res, keep_mask
+
+    for batch in loader.epoch(0):
+        # VOC eval scales boxes to the resized image size flipped to (w,h)?
+        # reference uses t["image_size"].flip(0) = (w, h) of the ORIGINAL
+        # image (engine_loc.py:152) — i.e. boxes in original coordinates.
+        res, keep_mask = infer(params, jnp.asarray(batch["images"]),
+                               jnp.asarray(batch["pad_mask"]),
+                               jnp.asarray(batch["orig_size"]))
+        boxes = np.asarray(res["boxes"])
+        scores = np.asarray(res["scores"])
+        labels = np.asarray(res["labels"])
+        km = np.asarray(keep_mask)
+        for b in range(len(batch["image_id"])):
+            idx = int(batch["image_id"][b])
+            for i in np.where(km[b])[0]:
+                c = int(labels[b][i])
+                if c == 0:  # class column 0 is unused (labels are 1..C)
+                    continue
+                if c > num_classes:
+                    continue
+                all_dets[c].append((idx, float(scores[b][i]), boxes[b][i].tolist()))
+                if (idx not in top_scores[c]) or scores[b][i] > top_scores[c][idx]:
+                    top_scores[c][idx] = float(scores[b][i])
+                    top_boxes[c][idx] = boxes[b][i].tolist()
+
+    gt = dataset.eval_ground_truth()
+    det_stats = voc_eval_all(all_dets, gt, use_07_metric=use_07_metric)
+    loc_stats = corloc(top_boxes, gt)
+    return {**det_stats, **loc_stats}

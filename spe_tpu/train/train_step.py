@@ -1,0 +1,149 @@
+"""The fused training step: one jitted program per step.
+
+Reference hot loop (engine.py:93-174 `train_one_epoch_refine`):
+  forward -> CAM pseudo boxes (CPU/cv2 in the reference; on-device here) ->
+  refinement pseudo labels (PostProcessRefine) -> SetCriterion per stage ->
+  epoch-gated loss weighting -> backward/clip/AdamW.
+
+Everything below happens inside ONE jit: no host round-trips. Epoch gates
+(engine.py:134-142) arrive as traced scalars in `gates` so epoch boundaries
+don't recompile.
+
+num_boxes semantics: the reference all_reduces the per-rank repeated-target
+count and divides by world size with a min of 1 (conditional_detr.py:435-440),
+then DDP averages gradients across ranks. In a global-batch jit program the
+equivalent single normalizer is max(total_repeated_boxes, num_devices) —
+derivation in the docstring of spe_tpu/train/criterion.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from spe_tpu.config import SPEConfig
+from spe_tpu.ops.cam_boxes import cam_pseudo_boxes
+from spe_tpu.ops.postprocess import postprocess_refine
+from spe_tpu.train.criterion import (image_label_losses, repeated_num_boxes,
+                                     set_criterion)
+
+
+class TrainState(NamedTuple):
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+
+
+class Gates(NamedTuple):
+    """Per-epoch scalars (traced; no recompiles across epochs)."""
+    det_weight: jnp.ndarray      # 0.0 while epoch < warmup_cls_epochs
+    refine_weight: jnp.ndarray   # 0.0 while epoch < refine_start_epoch
+    cam_thr: jnp.ndarray         # 0.2 -> 0.1 at cam_thr_drop_epoch
+
+    @staticmethod
+    def for_epoch(cfg: SPEConfig, epoch: int) -> "Gates":
+        return Gates(
+            det_weight=jnp.float32(0.0 if epoch < cfg.warmup_cls_epochs else 1.0),
+            refine_weight=jnp.float32(0.0 if epoch < cfg.refine_start_epoch else 1.0),
+            cam_thr=jnp.float32(cfg.cam_thr_at_epoch(epoch)),
+        )
+
+
+def compute_losses(model, params, batch, rng, cfg: SPEConfig, gates: Gates,
+                   *, num_devices: int = 1, deterministic: bool = False):
+    """Forward + pseudo-labels + all criteria. Returns (total, loss_dict)."""
+    rng_dropout, rng_jit0, rng_jitr = jax.random.split(rng, 3)
+    out = model.apply(params, batch["images"],
+                      pad_mask=batch.get("pad_mask"),
+                      deterministic=deterministic,
+                      rngs=None if deterministic else {"dropout": rng_dropout})
+
+    backbone_out = out["backbone"]
+    stages = out["stages"]
+
+    # ---- stage-0 pseudo GT from CAMs (engine.py:117; grads stopped like
+    # the reference's .detach().cpu(), engine.py:383) ----
+    cams = jax.lax.stop_gradient(backbone_out["cams_cls"])
+    cam_targets = cam_pseudo_boxes(
+        cams, batch["img_label"], gates.cam_thr,
+        area_ratio=cfg.multi_box_ratio, size=cfg.cam_cc_size,
+        k=cfg.max_cam_boxes_per_class, max_boxes=cfg.max_gt_boxes)
+    cam_targets["scores"] = jnp.ones_like(cam_targets["labels"], jnp.float32)
+
+    # ---- refinement pseudo labels: stage k supervises stage k+1
+    # (engine.py:271-308; PostProcessRefine per-class argmax) ----
+    refine_targets = {}
+    for k in range(cfg.num_refines):
+        src = stages[k]
+        refine_targets[k + 1] = postprocess_refine(
+            jax.lax.stop_gradient(src["pred_logits"]),
+            jax.lax.stop_gradient(src["pred_boxes"]),
+            cam_targets["labels"], cam_targets["mask"])
+
+    # ---- num_boxes normalizer (shared scale for all stages) ----
+    losses: Dict[str, jnp.ndarray] = {}
+    crit_kw = dict(hung_match_ratio=cfg.hung_match_ratio, box_jitter=cfg.box_jitter,
+                   focal_alpha=cfg.focal_alpha, focal_gamma=cfg.focal_gamma,
+                   cost_class=cfg.set_cost_class, cost_bbox=cfg.set_cost_bbox,
+                   cost_giou=cfg.set_cost_giou, assignment=cfg.assignment,
+                   training=not deterministic)
+
+    nb0 = jnp.maximum(repeated_num_boxes(cam_targets, cfg.hung_match_ratio),
+                      float(num_devices))
+    losses.update(set_criterion(stages[0], cam_targets, rng_jit0, nb0, **crit_kw))
+    losses.update(image_label_losses(backbone_out, batch["img_label"]))
+
+    for k, tgt in refine_targets.items():
+        nbk = jnp.maximum(repeated_num_boxes(tgt, cfg.hung_match_ratio),
+                          float(num_devices))
+        rk = jax.random.fold_in(rng_jitr, k)
+        ref_losses = set_criterion(stages[k], tgt, rk, nbk,
+                                   refine_weights=True, **crit_kw)
+        for name, v in ref_losses.items():
+            losses[f"ref_{k}_{name}"] = v
+
+    # ---- weighted total with epoch gates (engine.py:134-144) ----
+    base_w = {"loss_ce": cfg.cls_loss_coef, "loss_bbox": cfg.bbox_loss_coef,
+              "loss_giou": cfg.giou_loss_coef}
+    weight = {}
+    for name, coef in base_w.items():
+        weight[name] = coef
+        for i in range(cfg.dec_layers - 1):
+            weight[f"{name}_{i}"] = coef
+    weight["img_label_logits"] = cfg.img_label_loss_coef
+    weight["img_label_logits_tokens"] = cfg.img_label_tokens_loss_coef
+
+    total = jnp.float32(0.0)
+    for name, v in losses.items():
+        if name.startswith("ref_"):
+            short = name.split("_", 2)[2]
+            if short in weight:
+                total = total + gates.refine_weight * gates.det_weight * weight[short] * v
+        elif name in weight:
+            gate = (jnp.float32(1.0) if name.startswith("img_label")
+                    else gates.det_weight)
+            total = total + gate * weight[name] * v
+    return total, losses
+
+
+def make_train_step(model, cfg: SPEConfig, tx: optax.GradientTransformation,
+                    num_devices: int = 1):
+    """Returns train_step(state, batch, rng, gates) -> (state, metrics)."""
+
+    def train_step(state: TrainState, batch, rng, gates: Gates):
+        def loss_fn(params):
+            return compute_losses(model, params, batch, rng, cfg, gates,
+                                  num_devices=num_devices, deterministic=False)
+
+        (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = {"loss": total,
+                   "grad_norm": optax.global_norm(grads), **losses}
+        return TrainState(state.step + 1, params, opt_state), metrics
+
+    return train_step

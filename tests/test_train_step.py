@@ -1,0 +1,144 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from spe_tpu.config import SPEConfig
+from spe_tpu.models.build import build_model
+from spe_tpu.models.cait import CaiTConfig
+from spe_tpu.models.detector import SPEDetector
+from spe_tpu.train.optim import make_optimizer, param_group
+from spe_tpu.train.train_step import Gates, TrainState, compute_losses, make_train_step
+
+
+def tiny_cfg(**kw):
+    base = dict(
+        backbone="TSCAM_cait_XXS24", num_classes=5, layer_to_det=3,
+        num_queries=12, enc_layers=1, dec_layers=2, dim_feedforward=64,
+        nheads=2, num_refines=1, max_gt_boxes=6, max_cam_boxes_per_class=2,
+        cam_cc_size=16, hung_match_ratio=3, compute_dtype="float32",
+        dropout=0.0,
+    )
+    base.update(kw)
+    return SPEConfig(**base)
+
+
+def tiny_model(cfg):
+    bb = CaiTConfig(img_size=64, patch_size=16, embed_dim=32, depth=4,
+                    num_heads=2, num_classes=cfg.num_classes,
+                    layer_to_det=cfg.layer_to_det, depth_token_only=2)
+    return SPEDetector(backbone_cfg=bb, num_det_classes=cfg.num_det_classes,
+                       num_queries=cfg.num_queries, num_refines=cfg.num_refines,
+                       enc_layers=cfg.enc_layers, dec_layers=cfg.dec_layers,
+                       dim_feedforward=cfg.dim_feedforward, nheads=cfg.nheads,
+                       dropout=cfg.dropout)
+
+
+def tiny_batch(rng, B=2, C=5):
+    img_label = np.zeros((B, C), np.float32)
+    img_label[:, 1] = 1
+    img_label[0, 3] = 1
+    return {
+        "images": jnp.array(rng.normal(size=(B, 64, 64, 3)).astype(np.float32)),
+        "img_label": jnp.array(img_label),
+    }
+
+
+def test_compute_losses_and_gates(rng):
+    cfg = tiny_cfg()
+    model = tiny_model(cfg)
+    batch = tiny_batch(rng)
+    params = model.init(jax.random.PRNGKey(0), batch["images"])
+
+    total_open, losses = compute_losses(
+        model, params, batch, jax.random.PRNGKey(1), cfg,
+        Gates.for_epoch(cfg, epoch=20), deterministic=True)
+    assert np.isfinite(float(total_open))
+    assert "loss_ce" in losses and "ref_1_loss_ce" in losses
+    assert "img_label_logits" in losses
+
+    # epoch 0: only image-label losses contribute
+    total_warm, losses_w = compute_losses(
+        model, params, batch, jax.random.PRNGKey(1), cfg,
+        Gates.for_epoch(cfg, epoch=0), deterministic=True)
+    expected = (losses_w["img_label_logits"] * cfg.img_label_loss_coef +
+                losses_w["img_label_logits_tokens"] * cfg.img_label_tokens_loss_coef)
+    np.testing.assert_allclose(float(total_warm), float(expected), rtol=1e-5)
+
+    # epoch between gates: det losses on, refine off
+    total_mid, _ = compute_losses(
+        model, params, batch, jax.random.PRNGKey(1), cfg,
+        Gates.for_epoch(cfg, epoch=10), deterministic=True)
+    assert float(total_mid) > float(total_warm) - 1e-6
+    assert float(total_open) != float(total_mid)
+
+
+def test_param_groups():
+    assert param_group(("backbone", "blocks_token_only_0", "attn", "q")) == "cls_head"
+    assert param_group(("backbone", "blocks_3", "mlp", "fc1")) == "backbone"
+    assert param_group(("transformer", "decoder", "layers_0")) == "body"
+
+
+def test_train_step_updates_and_is_finite(rng):
+    cfg = tiny_cfg()
+    model = tiny_model(cfg)
+    batch = tiny_batch(rng)
+    params = model.init(jax.random.PRNGKey(0), batch["images"])
+    tx = make_optimizer(cfg, steps_per_epoch=10, params=params)
+    state = TrainState(jnp.int32(0), params, tx.init(params))
+    step = jax.jit(make_train_step(model, cfg, tx))
+    gates = Gates.for_epoch(cfg, epoch=20)
+    state2, metrics = step(state, batch, jax.random.PRNGKey(2), gates)
+    assert int(state2.step) == 1
+    assert np.isfinite(float(metrics["loss"]))
+    assert np.isfinite(float(metrics["grad_norm"]))
+    # params changed
+    diff = jax.tree_util.tree_map(lambda a, b: float(jnp.abs(a - b).max()),
+                                  state.params, state2.params)
+    assert max(jax.tree_util.tree_leaves(diff)) > 0
+    # second step also runs (shapes static, no recompile errors)
+    state3, m3 = step(state2, batch, jax.random.PRNGKey(3), gates)
+    assert np.isfinite(float(m3["loss"]))
+
+
+def test_train_step_sharded_8cpu(rng):
+    """DP over the 8-device virtual CPU mesh: batch sharded on 'data',
+    params replicated; one step runs and stays finite."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from spe_tpu.parallel.mesh import batch_sharding, make_mesh, replicated, shard_batch
+
+    assert len(jax.devices()) == 8
+    mesh = make_mesh()
+    cfg = tiny_cfg()
+    model = tiny_model(cfg)
+    batch = tiny_batch(rng, B=8)
+    params = model.init(jax.random.PRNGKey(0), batch["images"])
+    tx = make_optimizer(cfg, steps_per_epoch=10, params=params)
+    state = TrainState(jnp.int32(0), params, tx.init(params))
+
+    rep = replicated(mesh)
+    state = jax.device_put(state, rep)
+    batch = shard_batch(mesh, batch)
+    step = jax.jit(make_train_step(model, cfg, tx, num_devices=8),
+                   out_shardings=(rep, rep))
+    gates = Gates.for_epoch(cfg, epoch=20)
+    state2, metrics = step(state, batch, jax.random.PRNGKey(2), gates)
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(state2.step) == 1
+
+
+def test_lr_schedule_step_drop(rng):
+    cfg = tiny_cfg(lr_drop=2)
+    model = tiny_model(cfg)
+    batch = tiny_batch(rng)
+    params = model.init(jax.random.PRNGKey(0), batch["images"])
+    tx = make_optimizer(cfg, steps_per_epoch=1, params=params)
+    state = TrainState(jnp.int32(0), params, tx.init(params))
+    step = jax.jit(make_train_step(model, cfg, tx))
+    gates = Gates.for_epoch(cfg, epoch=20)
+    # run 3 steps = 3 epochs with steps_per_epoch=1; no assertion on values,
+    # just that the schedule path executes past the drop
+    for i in range(3):
+        state, metrics = step(state, batch, jax.random.PRNGKey(i), gates)
+        assert np.isfinite(float(metrics["loss"]))
