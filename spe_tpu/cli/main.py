@@ -87,9 +87,17 @@ def main(argv=None):
                                         with_flip=cfg.eval)
             print(f"VOC mAP: {stats['mAP']:.4f}  CorLoc: {stats['CorLoc']:.4f}")
         else:
+            # main_coco.py:360-368 evaluates every refine head per epoch
             gt = (ds_val.coco_gt() if hasattr(ds_val, "coco_gt") else ds_val.raw)
-            stats = engine.evaluate_coco(model, params, loader_val, gt, cfg)
-            print("COCO eval:", {k: round(v, 4) for k, v in stats.items()})
+            stats = {}
+            for stage in range(cfg.num_refines + 1):
+                s = engine.evaluate_coco(model, params, loader_val, gt, cfg,
+                                         refine_stage=stage)
+                print(f"COCO eval (stage {stage}):",
+                      {k: round(v, 4) for k, v in s.items()})
+                if stage == 0:
+                    stats.update(s)
+                stats.update({f"stage{stage}_{k}": v for k, v in s.items()})
         return stats
 
     if cfg.eval:

@@ -30,5 +30,6 @@ def build_model(cfg: SPEConfig) -> SPEDetector:
         dim_feedforward=cfg.dim_feedforward,
         nheads=cfg.nheads,
         dropout=cfg.dropout,
+        masks=cfg.masks,
         dtype=dtype,
     )

@@ -33,6 +33,7 @@ class SPEDetector(nn.Module):
     dim_feedforward: int = 2048
     nheads: int = 8
     dropout: float = 0.1
+    masks: bool = False   # attach the segmentation head (reference DETRsegm)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -99,4 +100,14 @@ class SPEDetector(nn.Module):
                 "aux_pred_boxes": coords[:-1],
             }
         out["stages"] = stages
+
+        if self.masks:
+            from spe_tpu.models.segmentation import SegmentationHead
+
+            # stage-0 final decoder states over the patch feature grid
+            hs0 = hs_all[0][-1].astype(jnp.float32)
+            out["pred_masks"] = SegmentationHead(
+                d_model, num_heads=self.nheads, dtype=jnp.float32,
+                name="segm_head")(hs0, feat.astype(jnp.float32),
+                                  pad_mask=key_padding)
         return out
