@@ -65,6 +65,7 @@ class TalkingHeadsAttention(nn.Module):
     attn_drop: float = 0.0
     proj_drop: float = 0.0
     qkv_bias: bool = True
+    use_pallas: bool = False  # fused kernel on the deterministic path
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -73,23 +74,37 @@ class TalkingHeadsAttention(nn.Module):
         qkv = nn.Dense(3 * D, use_bias=self.qkv_bias, dtype=self.dtype,
                        kernel_init=trunc_normal_init, name="qkv")(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        wl = self.param("proj_l", nn.initializers.truncated_normal(0.02),
+                        (self.num_heads, self.num_heads), jnp.float32)
+        bl = self.param("proj_l_bias", nn.initializers.zeros, (self.num_heads,), jnp.float32)
+        ww = self.param("proj_w", nn.initializers.truncated_normal(0.02),
+                        (self.num_heads, self.num_heads), jnp.float32)
+        bw = self.param("proj_w_bias", nn.initializers.zeros, (self.num_heads,), jnp.float32)
+
+        if self.use_pallas and deterministic and N % 256 == 0:
+            # fused VMEM-resident kernel (no attention dropout; eval path)
+            from spe_tpu.ops.pallas_attention import talking_heads_attention
+
+            out = talking_heads_attention(
+                _split_heads(q, self.num_heads), _split_heads(k, self.num_heads),
+                _split_heads(v, self.num_heads), wl, bl, ww, bw)
+            out = _merge_heads(out)
+            out = nn.Dense(D, dtype=self.dtype, kernel_init=trunc_normal_init,
+                           name="proj")(out)
+            return nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
+
         q = _split_heads(q, self.num_heads) * (D // self.num_heads) ** -0.5
         k = _split_heads(k, self.num_heads)
         v = _split_heads(v, self.num_heads)
 
         logits = jnp.einsum("bhqd,bhkd->bhqk", q, k)
         # talking heads: mix across the head dimension (einsum keeps it fused)
-        wl = self.param("proj_l", nn.initializers.truncated_normal(0.02),
-                        (self.num_heads, self.num_heads), jnp.float32)
-        bl = self.param("proj_l_bias", nn.initializers.zeros, (self.num_heads,), jnp.float32)
         logits = jnp.einsum("bhqk,hg->bgqk", logits, wl.astype(logits.dtype))
         logits = logits + bl.astype(logits.dtype)[None, :, None, None]
 
         attn = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(x.dtype)
 
-        ww = self.param("proj_w", nn.initializers.truncated_normal(0.02),
-                        (self.num_heads, self.num_heads), jnp.float32)
-        bw = self.param("proj_w_bias", nn.initializers.zeros, (self.num_heads,), jnp.float32)
         attn2 = jnp.einsum("bhqk,hg->bgqk", attn, ww.astype(attn.dtype))
         attn2 = attn2 + bw.astype(attn2.dtype)[None, :, None, None]
         attn2 = nn.Dropout(self.attn_drop)(attn2, deterministic=deterministic)

@@ -18,6 +18,7 @@ def build_model(cfg: SPEConfig) -> SPEDetector:
         drop_rate=cfg.backbone_drop_rate,
         attn_drop_rate=cfg.drop_attn_rate,
         drop_path_rate=cfg.drop_path_rate,
+        use_pallas=cfg.use_pallas_attention,
     )
     dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
     return SPEDetector(

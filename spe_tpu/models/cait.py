@@ -42,6 +42,7 @@ class LayerScaleBlock(nn.Module):
     drop_path: float = 0.0
     init_scale: float = 1e-4
     qkv_bias: bool = True
+    use_pallas: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -52,6 +53,7 @@ class LayerScaleBlock(nn.Module):
         h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
         h = TalkingHeadsAttention(self.num_heads, attn_drop=self.attn_drop,
                                   proj_drop=self.drop, qkv_bias=self.qkv_bias,
+                                  use_pallas=self.use_pallas,
                                   dtype=self.dtype, name="attn")(h, deterministic=deterministic)
         x = x + DropPath(self.drop_path)(gamma1.astype(x.dtype) * h, deterministic=deterministic)
         h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
@@ -120,6 +122,7 @@ class CaiTConfig:
     attn_drop_rate: float = 0.0
     drop_path_rate: float = 0.0
     qkv_bias: bool = True
+    use_pallas: bool = False
 
 
 class CaiTTwoBranch(nn.Module):
@@ -169,6 +172,7 @@ class CaiTTwoBranch(nn.Module):
             x = LayerScaleBlock(cfg.num_heads, cfg.mlp_ratio, drop=cfg.drop_rate,
                                 attn_drop=cfg.attn_drop_rate, drop_path=cfg.drop_path_rate,
                                 init_scale=cfg.init_scale, qkv_bias=cfg.qkv_bias,
+                                use_pallas=cfg.use_pallas,
                                 dtype=self.dtype, name=f"blocks_{i}")(
                 x, deterministic=deterministic)
             if i + 1 == cfg.layer_to_det:
@@ -178,6 +182,7 @@ class CaiTTwoBranch(nn.Module):
             x_feat = LayerScaleBlock(cfg.num_heads, cfg.mlp_ratio, drop=cfg.drop_rate,
                                      attn_drop=cfg.attn_drop_rate, drop_path=cfg.drop_path_rate,
                                      init_scale=cfg.init_scale, qkv_bias=cfg.qkv_bias,
+                                     use_pallas=cfg.use_pallas,
                                      dtype=self.dtype, name=f"blocks_det_{i}")(
                 x_feat, deterministic=deterministic)
         x_feat = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm_det")(x_feat)
@@ -246,9 +251,11 @@ BACKBONE_REGISTRY = {
 
 def build_cait_config(name: str, num_classes: int, layer_to_det: int,
                       drop_rate: float = 0.0, attn_drop_rate: float = 0.0,
-                      drop_path_rate: float = 0.0) -> CaiTConfig:
+                      drop_path_rate: float = 0.0,
+                      use_pallas: bool = False) -> CaiTConfig:
     if name not in BACKBONE_REGISTRY:
         raise KeyError(f"unknown backbone '{name}'; have {sorted(BACKBONE_REGISTRY)}")
     return BACKBONE_REGISTRY[name](
         num_classes=num_classes, layer_to_det=layer_to_det, drop_rate=drop_rate,
-        attn_drop_rate=attn_drop_rate, drop_path_rate=drop_path_rate)
+        attn_drop_rate=attn_drop_rate, drop_path_rate=drop_path_rate,
+        use_pallas=use_pallas)

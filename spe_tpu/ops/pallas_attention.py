@@ -1,0 +1,119 @@
+"""Fused talking-heads attention (Pallas TPU kernel).
+
+The CaiT patch blocks' attention (reference models/cait.py:344-393) is
+logits -> head-mix (proj_l) -> softmax -> head-mix (proj_w) -> @V. The
+XLA path materializes two (B, H, N, N) tensors to HBM per block (67MB each
+at the published B8/N1024/bf16) — the dominant HBM traffic of the backbone.
+
+This kernel keeps everything in VMEM: grid over (batch, q_tile); per tile
+it loads a (H, Tq, dh) query block plus the full K/V (N=1024, dh=48 ->
+~1.6MB), computes all-head logits for the tile, mixes heads (H x H einsum —
+head mixing needs all heads simultaneously, which is why the grid cannot
+split heads), applies a full-row softmax (no online rescaling needed since
+the whole key axis is resident), mixes again, and multiplies by V.
+
+v1 is forward/deterministic (no attention dropout) and is used on the
+inference/eval path behind `use_pallas_attention`; the training path keeps
+the einsum implementation until the backward kernel lands.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(q_ref, k_ref, v_ref, wl_ref, bl_ref, ww_ref, bw_ref, o_ref):
+    # q_ref: (1, H, Tq, dh); k_ref/v_ref: (1, H, N, dh); wl/ww: (H, H); bl/bw: (H, 1)
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    dh = q.shape[-1]
+    scale = dh ** -0.5
+
+    H = q.shape[0]
+    # per-head QK^T (python loop over the tiny static head dim: Mosaic
+    # cannot lower batched/head-contracting dot_generals in one op)
+    logits = [jax.lax.dot_general(
+        q[h] * scale, k[h],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) for h in range(H)]  # H x (Tq, N)
+
+    def mix(parts, w_ref, b_ref):
+        # out_g = sum_h parts[h] * w[h, g] + b[g], unrolled scalar-weighted sums
+        out = []
+        for g in range(H):
+            s = parts[0] * w_ref[0, g]
+            for h in range(1, H):
+                s = s + parts[h] * w_ref[h, g]
+            out.append(s + b_ref[g, 0])
+        return out
+
+    mixed = mix(logits, wl_ref, bl_ref)
+    probs = []
+    for g in range(H):
+        m = jnp.max(mixed[g], axis=-1, keepdims=True)
+        p = jnp.exp(mixed[g] - m)
+        probs.append(p / jnp.sum(p, axis=-1, keepdims=True))
+
+    p2 = mix(probs, ww_ref, bw_ref)
+    for j in range(H):
+        out = jax.lax.dot_general(
+            p2[j], v[j],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)    # (Tq, dh)
+        o_ref[0, j] = out.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("q_tile", "interpret"))
+def talking_heads_attention(q, k, v, wl, bl, ww, bw, *, q_tile: int = 256,
+                            interpret: bool = False):
+    """q/k/v: (B, H, N, dh); wl/ww: (H, H) mixing matrices (our layout:
+    out_g = sum_h x_h * w[h, g]); bl/bw: (H,). Returns (B, H, N, dh).
+
+    Matches TalkingHeadsAttention's einsum path (pre-proj output) except
+    attention dropout (deterministic only).
+    """
+    B, H, N, dh = q.shape
+    q_tile = min(q_tile, N)
+    grid = (B, N // q_tile)
+    bl2 = bl.reshape(H, 1)
+    bw2 = bw.reshape(H, 1)
+
+    return pl.pallas_call(
+        _kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, H, q_tile, dh), lambda b, i: (b, 0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, N, dh), lambda b, i: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, N, dh), lambda b, i: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, H), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, 1), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, H), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, 1), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, H, q_tile, dh), lambda b, i: (b, 0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, H, N, dh), q.dtype),
+        interpret=interpret,
+    )(q, k, v, wl, bl2, ww, bw2)
+
+
+def talking_heads_reference(q, k, v, wl, bl, ww, bw):
+    """The einsum path (mirrors models/attention.py TalkingHeadsAttention)."""
+    dh = q.shape[-1]
+    qf = q.astype(jnp.float32) * dh ** -0.5
+    logits = jnp.einsum("bhqd,bhkd->bhqk", qf, k.astype(jnp.float32))
+    logits = jnp.einsum("bhqk,hg->bgqk", logits, wl.astype(jnp.float32))
+    logits = logits + bl.astype(jnp.float32)[None, :, None, None]
+    attn = jax.nn.softmax(logits, axis=-1)
+    attn = jnp.einsum("bhqk,hg->bgqk", attn, ww.astype(jnp.float32))
+    attn = attn + bw.astype(jnp.float32)[None, :, None, None]
+    return jnp.einsum("bhqk,bhkd->bhqd", attn, v.astype(jnp.float32)).astype(q.dtype)
