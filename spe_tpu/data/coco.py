@@ -52,6 +52,14 @@ class CocoFormatDataset:
         info = self.images[image_id]
         return Image.open(self.img_folder / info["file_name"]).convert("RGB")
 
+    def image_path(self, idx: int):
+        """File path by dataset index (native decode fast path)."""
+        return self.img_folder / self.images[self.ids[idx]]["file_name"]
+
+    def target_at(self, idx: int):
+        """Target by dataset index (get_target keys by image id)."""
+        return self.get_target(self.ids[idx])
+
     def get_target(self, image_id: int) -> Dict:
         info = self.images[image_id]
         w, h = info["width"], info["height"]

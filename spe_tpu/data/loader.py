@@ -58,7 +58,8 @@ class DataLoader:
                  fixed_size: Optional[int] = None, shuffle: bool = True,
                  drop_last: bool = True, seed: int = 0,
                  process_index: int = 0, process_count: int = 1,
-                 prefetch: int = 2, num_threads: int = 2):
+                 prefetch: int = 2, num_threads: int = 2,
+                 use_native: bool = False, train: bool = True):
         self.ds = dataset
         self.batch_size = batch_size
         self.num_classes = num_classes
@@ -70,6 +71,15 @@ class DataLoader:
         self.process_count = process_count
         self.prefetch = prefetch
         self.num_threads = num_threads
+        self.train = train
+        # native fast path: C++ JPEG decode+resize+normalize, only valid for
+        # the fixed-size recipe on datasets that expose image file paths
+        self.use_native = (use_native and fixed_size is not None
+                           and hasattr(dataset, "image_path"))
+        if self.use_native:
+            from spe_tpu.data import native_io
+
+            self.use_native = native_io.available()
 
     def _indices(self, epoch: int) -> List[int]:
         idx = np.arange(len(self.ds))
@@ -82,6 +92,34 @@ class DataLoader:
         n = len(self._indices(0))
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
+    def _native_batch(self, bidx, rng) -> Optional[Dict[str, np.ndarray]]:
+        """FixedSizeTransform semantics via the C++ decoder: optional train
+        hflip + square resize + normalize, with boxes adjusted to match."""
+        from spe_tpu.data import native_io
+
+        S = self.fixed_size
+        paths = [self.ds.image_path(i) for i in bidx]
+        flips = [bool(rng.random() < 0.5) if self.train else False for _ in bidx]
+        images = native_io.decode_batch(paths, S, flips,
+                                        n_threads=self.num_threads)
+        if images is None:
+            return None
+        targets = []
+        for i, flip in zip(bidx, flips):
+            t = self.ds.target_at(i)
+            h, w = t["orig_size"]
+            if len(t.get("boxes", [])):
+                b = t["boxes"].astype(np.float32).copy()
+                if flip:
+                    b[:, [0, 2]] = w - b[:, [2, 0]]
+                b[:, [0, 2]] *= S / w
+                b[:, [1, 3]] *= S / h
+                t["boxes"] = b
+            t["size"] = np.array([S, S], np.int64)
+            targets.append(t)
+        batch = collate(list(zip(images, targets)), self.num_classes, S)
+        return batch
+
     def epoch(self, epoch: int) -> Iterator[Dict[str, np.ndarray]]:
         idx = self._indices(epoch)
         nb = self.steps_per_epoch()
@@ -90,11 +128,20 @@ class DataLoader:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = object()
 
+        rng = np.random.default_rng(self.seed * 7919 + epoch)
+
+        def make_batch(bidx):
+            if self.use_native:
+                b = self._native_batch(bidx, rng)
+                if b is not None:
+                    return b
+            samples = [self.ds[i] for i in bidx]
+            return collate(samples, self.num_classes, self.fixed_size)
+
         def worker():
             try:
                 for bidx in batches:
-                    samples = [self.ds[i] for i in bidx]
-                    q.put(collate(samples, self.num_classes, self.fixed_size))
+                    q.put(make_batch(bidx))
             finally:
                 q.put(stop)
 

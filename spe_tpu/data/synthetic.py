@@ -71,6 +71,9 @@ class SyntheticDetection:
             "iscrowd": np.zeros(len(labels), np.int64),
         }
 
+    def target_at(self, idx: int):
+        return self.get_target(idx)
+
     def __getitem__(self, idx: int):
         img, _, _ = self._items[idx]
         target = self.get_target(idx)

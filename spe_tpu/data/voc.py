@@ -73,6 +73,14 @@ class VOCDevkitDataset:
         year, img_id = self.items[idx]
         return parse_voc_xml(self.root / year / "Annotations" / f"{img_id}.xml")
 
+    def image_path(self, idx: int):
+        """File path by dataset index (native decode fast path)."""
+        year, img_id = self.items[idx]
+        return self.root / year / "JPEGImages" / f"{img_id}.jpg"
+
+    def target_at(self, idx: int):
+        return self.get_target(idx)
+
     def get_target(self, idx: int) -> Dict:
         year, img_id = self.items[idx]
         ann = self._ann(idx)

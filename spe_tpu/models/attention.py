@@ -82,13 +82,18 @@ class TalkingHeadsAttention(nn.Module):
                         (self.num_heads, self.num_heads), jnp.float32)
         bw = self.param("proj_w_bias", nn.initializers.zeros, (self.num_heads,), jnp.float32)
 
-        if self.use_pallas and deterministic and N % 256 == 0:
-            # fused VMEM-resident kernel (no attention dropout; eval path)
-            from spe_tpu.ops.pallas_attention import talking_heads_attention
+        if self.use_pallas and (deterministic or self.attn_drop == 0.0):
+            # fused VMEM-resident kernel with custom-VJP backward; supports
+            # training when attention dropout is disabled. Interpret mode on
+            # non-TPU backends keeps the path testable on CPU.
+            from spe_tpu.ops.pallas_attention_bwd import fused_talking_heads
 
-            out = talking_heads_attention(
+            interpret = jax.default_backend() not in ("tpu", "axon")
+            q_tile = 256 if N % 256 == 0 else N
+            out = fused_talking_heads(
                 _split_heads(q, self.num_heads), _split_heads(k, self.num_heads),
-                _split_heads(v, self.num_heads), wl, bl, ww, bw)
+                _split_heads(v, self.num_heads), wl, bl, ww, bw,
+                q_tile, interpret)
             out = _merge_heads(out)
             out = nn.Dense(D, dtype=self.dtype, kernel_init=trunc_normal_init,
                            name="proj")(out)

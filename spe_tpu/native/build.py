@@ -14,7 +14,7 @@ HERE = pathlib.Path(__file__).resolve().parent
 TARGETS = [
     # (source, output, extra flags)
     ("lapjv.cc", "liblapjv.so", []),
-    ("dataio.cc", "libdataio.so", ["-pthread"]),
+    ("dataio.cc", "libdataio.so", ["-pthread", "-ljpeg"]),
 ]
 
 

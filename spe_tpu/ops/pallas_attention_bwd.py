@@ -1,0 +1,175 @@
+"""Backward kernel for the fused talking-heads attention + custom_vjp wiring.
+
+Forward math (spe_tpu/ops/pallas_attention.py):
+  L_h   = scale * Q_h K_h^T
+  M_g   = sum_h Wl[h,g] L_h + bl[g]
+  P_g   = softmax_k(M_g)
+  P2_j  = sum_g Ww[g,j] P_g + bw[j]
+  Y_j   = P2_j V_j
+
+Backward (derived by hand, verified against jax.grad of the einsum path):
+  dV_j  = P2_j^T dY_j
+  dP2_j = dY_j V_j^T
+  dP_g  = sum_j Ww[g,j] dP2_j ;  dWw[g,j] = <P_g, dP2_j> ;  dbw[j] = sum dP2_j
+  dM_g  = P_g * (dP_g - rowsum(dP_g * P_g))
+  dL_h  = sum_g Wl[h,g] dM_g ;  dWl[h,g] = <L_h, dM_g> ;  dbl[g] = sum dM_g
+  dQ_h  = scale * dL_h K_h ;  dK_h = scale * dL_h^T Q_h
+
+Kernel layout: grid over batch; an inner fori over q-tiles recomputes
+L/M/P per tile (flash-style recompute — nothing N^2 is ever stored to HBM)
+and accumulates dK/dV/dW in VMEM scratch.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from spe_tpu.ops.pallas_attention import talking_heads_attention
+
+
+def _bwd_kernel(q_ref, k_ref, v_ref, wl_ref, bl_ref, ww_ref, bw_ref, dy_ref,
+                dq_ref, dk_ref, dv_ref, dwl_ref, dbl_ref, dww_ref, dbw_ref,
+                *, q_tile: int):
+    H = q_ref.shape[1]
+    N = k_ref.shape[2]
+    dh = q_ref.shape[3]
+    scale = dh ** -0.5
+    n_tiles = N // q_tile
+
+    k = [k_ref[0, h].astype(jnp.float32) for h in range(H)]
+    v = [v_ref[0, h].astype(jnp.float32) for h in range(H)]
+
+    # zero accumulators (scalar grads live in SMEM: scalar stores only)
+    dk_ref[...] = jnp.zeros_like(dk_ref)
+    dv_ref[...] = jnp.zeros_like(dv_ref)
+    for a in range(H):
+        dbl_ref[0, a, 0] = jnp.float32(0)
+        dbw_ref[0, a, 0] = jnp.float32(0)
+        for b in range(H):
+            dwl_ref[0, a, b] = jnp.float32(0)
+            dww_ref[0, a, b] = jnp.float32(0)
+
+    def dot(a, b, ta=False, tb=False):
+        dims = (((0,) if ta else (1,), (1,) if tb else (0,)), ((), ()))
+        return jax.lax.dot_general(a, b, dimension_numbers=dims,
+                                   preferred_element_type=jnp.float32)
+
+    for t in range(n_tiles):  # static unroll: q tiles
+        sl = pl.ds(t * q_tile, q_tile)
+        q = [q_ref[0, h, sl, :].astype(jnp.float32) for h in range(H)]
+        dy = [dy_ref[0, h, sl, :].astype(jnp.float32) for h in range(H)]
+
+        # --- recompute forward for this tile ---
+        L = [dot(q[h], k[h], tb=True) * scale for h in range(H)]  # (Tq, N)
+        M, P = [], []
+        for g in range(H):
+            m = L[0] * wl_ref[0, g]
+            for h in range(1, H):
+                m = m + L[h] * wl_ref[h, g]
+            m = m + bl_ref[g, 0]
+            mx = jnp.max(m, axis=-1, keepdims=True)
+            e = jnp.exp(m - mx)
+            P.append(e / jnp.sum(e, axis=-1, keepdims=True))
+            M.append(m)
+
+        # --- P2 (for dV) and dP2 ---
+        for j in range(H):
+            p2 = P[0] * ww_ref[0, j]
+            for g in range(1, H):
+                p2 = p2 + P[g] * ww_ref[g, j]
+            p2 = p2 + bw_ref[j, 0]
+            dv_ref[0, j] += dot(p2, dy[j], ta=True).astype(dv_ref.dtype)
+
+        dP2 = [dot(dy[j], v[j], tb=True) for j in range(H)]      # (Tq, N)
+        for j in range(H):
+            dbw_ref[0, j, 0] += jnp.sum(dP2[j])
+            for g in range(H):
+                dww_ref[0, g, j] += jnp.sum(P[g] * dP2[j])
+
+        dM = []
+        for g in range(H):
+            dp = dP2[0] * ww_ref[g, 0]
+            for j in range(1, H):
+                dp = dp + dP2[j] * ww_ref[g, j]
+            dm = P[g] * (dp - jnp.sum(dp * P[g], axis=-1, keepdims=True))
+            dM.append(dm)
+            dbl_ref[0, g, 0] += jnp.sum(dm)
+            for h in range(H):
+                dwl_ref[0, h, g] += jnp.sum(L[h] * dM[g])
+
+        for h in range(H):
+            dl = dM[0] * wl_ref[h, 0]
+            for g in range(1, H):
+                dl = dl + dM[g] * wl_ref[h, g]
+            dq_ref[0, h, sl, :] = (dot(dl, k[h]) * scale).astype(dq_ref.dtype)
+            dk_ref[0, h] += (dot(dl, q[h], ta=True) * scale).astype(dk_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("q_tile", "interpret"))
+def _bwd_call(q, k, v, wl, bl, ww, bw, dy, *, q_tile: int = 128,
+              interpret: bool = False):
+    B, H, N, dh = q.shape
+    q_tile = min(q_tile, N)
+    bl2 = bl.reshape(H, 1)
+    bw2 = bw.reshape(H, 1)
+    full = lambda: pl.BlockSpec((1, H, N, dh), lambda b: (b, 0, 0, 0),
+                                memory_space=pltpu.VMEM)
+    small = lambda r, c: pl.BlockSpec((r, c), lambda b: (0, 0),
+                                      memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_bwd_kernel, q_tile=q_tile),
+        grid=(B,),
+        in_specs=[full(), full(), full(), small(H, H), small(H, 1),
+                  small(H, H), small(H, 1), full()],
+        out_specs=(full(), full(), full(),
+                   # small mixing-matrix grads accumulate SCALARS: SMEM
+                   # (Mosaic rejects scalar stores to VMEM)
+                   pl.BlockSpec((1, H, H), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
+                   pl.BlockSpec((1, H, 1), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
+                   pl.BlockSpec((1, H, H), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
+                   pl.BlockSpec((1, H, 1), lambda b: (b, 0, 0), memory_space=pltpu.SMEM)),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, H, N, dh), jnp.float32),
+            jax.ShapeDtypeStruct((B, H, N, dh), jnp.float32),
+            jax.ShapeDtypeStruct((B, H, N, dh), jnp.float32),
+            jax.ShapeDtypeStruct((B, H, H), jnp.float32),
+            jax.ShapeDtypeStruct((B, H, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B, H, H), jnp.float32),
+            jax.ShapeDtypeStruct((B, H, 1), jnp.float32),
+        ),
+        interpret=interpret,
+    )(q, k, v, wl, bl2, ww, bw2, dy)
+    dq, dk, dv, dwl, dbl, dww, dbw = out
+    return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype),
+            dwl.sum(0), dbl.sum(0)[:, 0], dww.sum(0), dbw.sum(0)[:, 0])
+
+
+# ---------------------------------------------------------------------------
+# custom_vjp wrapper: training-ready fused attention
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def fused_talking_heads(q, k, v, wl, bl, ww, bw, q_tile: int = 256,
+                        interpret: bool = False):
+    return talking_heads_attention(q, k, v, wl, bl, ww, bw, q_tile=q_tile,
+                                   interpret=interpret)
+
+
+def _fwd(q, k, v, wl, bl, ww, bw, q_tile, interpret):
+    y = talking_heads_attention(q, k, v, wl, bl, ww, bw, q_tile=q_tile,
+                                interpret=interpret)
+    return y, (q, k, v, wl, bl, ww, bw)
+
+
+def _bwd(q_tile, interpret, res, dy):
+    q, k, v, wl, bl, ww, bw = res
+    return _bwd_call(q, k, v, wl, bl, ww, bw, dy,
+                     q_tile=min(q_tile, 128), interpret=interpret)
+
+
+fused_talking_heads.defvjp(_fwd, _bwd)

@@ -1,0 +1,92 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spe_tpu.ops.pallas_attention import talking_heads_reference
+from spe_tpu.ops.pallas_attention_bwd import fused_talking_heads
+
+
+def _inputs(rng, B=2, H=4, N=64, dh=16):
+    mk = lambda *s: jnp.array(rng.normal(size=s).astype(np.float32))
+    return (mk(B, H, N, dh), mk(B, H, N, dh), mk(B, H, N, dh),
+            mk(H, H) * 0.3, mk(H) * 0.1, mk(H, H) * 0.3, mk(H) * 0.1)
+
+
+def test_fused_grads_match_einsum(rng):
+    args = _inputs(rng)
+
+    def loss_ref(*a):
+        return jnp.sum(talking_heads_reference(*a) ** 2)
+
+    def loss_fused(*a):
+        return jnp.sum(fused_talking_heads(*a, 32, True) ** 2)
+
+    ref_val, ref_grads = jax.value_and_grad(loss_ref, argnums=tuple(range(7)))(*args)
+    got_val, got_grads = jax.value_and_grad(loss_fused, argnums=tuple(range(7)))(*args)
+    np.testing.assert_allclose(float(got_val), float(ref_val), rtol=1e-5)
+    names = ["q", "k", "v", "wl", "bl", "ww", "bw"]
+    for name, g_ref, g_got in zip(names, ref_grads, got_grads):
+        np.testing.assert_allclose(
+            np.asarray(g_got), np.asarray(g_ref), rtol=2e-4, atol=2e-4,
+            err_msg=f"grad mismatch: {name}")
+
+
+def test_fused_grads_single_tile(rng):
+    args = _inputs(rng, B=1, H=2, N=32, dh=8)
+
+    def loss_fused(*a):
+        return jnp.sum(jnp.abs(fused_talking_heads(*a, 32, True)))
+
+    g = jax.grad(loss_fused, argnums=(0, 3))(*args)
+    for leaf in g:
+        assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_fused_multi_tile_consistency(rng):
+    """Gradients must be independent of the q-tiling."""
+    args = _inputs(rng, B=1, H=2, N=64, dh=8)
+
+    def loss(tile):
+        return jax.grad(
+            lambda *a: jnp.sum(fused_talking_heads(*a, tile, True) ** 2),
+            argnums=(0, 1, 2))(*args)
+
+    g32 = loss(32)
+    g64 = loss(64)
+    for a, b in zip(g32, g64):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+
+def test_model_pallas_flag_equivalence(rng):
+    """CaiTTwoBranch with use_pallas=True (interpret on CPU) matches the
+    einsum model in outputs and gradients."""
+    import flax
+    from spe_tpu.models.cait import CaiTConfig, CaiTTwoBranch
+
+    base = dict(img_size=64, patch_size=16, embed_dim=32, depth=2, num_heads=2,
+                num_classes=3, layer_to_det=1, depth_token_only=1)
+    m0 = CaiTTwoBranch(CaiTConfig(**base))
+    m1 = CaiTTwoBranch(CaiTConfig(**base, use_pallas=True))
+    x = jnp.array(rng.normal(size=(1, 64, 64, 3)).astype(np.float32))
+    params = m0.init(jax.random.PRNGKey(0), x)
+
+    o0 = m0.apply(params, x)
+    o1 = m1.apply(params, x)
+    np.testing.assert_allclose(np.asarray(o1["x_logits"]), np.asarray(o0["x_logits"]),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(o1["x_patch"]), np.asarray(o0["x_patch"]),
+                               atol=1e-4)
+
+    def loss(m):
+        def f(p):
+            out = m.apply(p, x)
+            return jnp.sum(out["x_patch"] ** 2) + jnp.sum(out["x_logits"] ** 2)
+        return jax.grad(f)(params)
+
+    g0 = loss(m0)
+    g1 = loss(m1)
+    flat0 = flax.traverse_util.flatten_dict(g0["params"])
+    flat1 = flax.traverse_util.flatten_dict(g1["params"])
+    for k in flat0:
+        np.testing.assert_allclose(np.asarray(flat1[k]), np.asarray(flat0[k]),
+                                   atol=5e-4, err_msg=str(k))
