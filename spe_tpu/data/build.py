@@ -45,6 +45,16 @@ def build_dataset(image_set: str, dataset_file: str, cfg: SPEConfig):
         splits = ([("VOC2007", "trainval"), ("VOC2012", "trainval")]
                   if train else [("VOC2007", "test")])
         return VOCDevkitDataset(cfg.test_path, splits, transform=tf)
+    if dataset_file == "coco_panoptic":
+        from spe_tpu.data.coco_panoptic import CocoPanopticDataset
+
+        root = Path(cfg.coco_path)
+        proot = Path(cfg.coco_panoptic_path)
+        split = "train2017" if train else "val2017"
+        return CocoPanopticDataset(
+            root / split, proot / f"panoptic_{split}",
+            proot / f"panoptic_{split}.json", transform=tf,
+            return_masks=cfg.masks)
     if dataset_file == "synthetic":
         from spe_tpu.data.synthetic import SyntheticDetection
 

@@ -1,0 +1,72 @@
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+
+from spe_tpu.data.coco_panoptic import CocoPanopticDataset, decode_segment_map
+
+
+def test_decode_segment_map():
+    png = np.zeros((2, 2, 3), np.uint8)
+    png[0, 0] = (7, 0, 0)      # id 7
+    png[0, 1] = (0, 1, 0)      # id 256
+    png[1, 1] = (1, 1, 1)      # id 1 + 256 + 65536
+    ids = decode_segment_map(png)
+    assert ids[0, 0] == 7 and ids[0, 1] == 256 and ids[1, 1] == 65793
+
+
+def test_coco_panoptic_dataset(tmp_path, rng):
+    img_dir = tmp_path / "imgs"
+    ann_dir = tmp_path / "panoptic"
+    img_dir.mkdir()
+    ann_dir.mkdir()
+    Image.fromarray(rng.integers(0, 255, (20, 30, 3)).astype(np.uint8)).save(
+        img_dir / "img0.jpg")
+    seg = np.zeros((20, 30, 3), np.uint8)
+    seg[2:10, 3:12, 0] = 5  # segment id 5
+    Image.fromarray(seg).save(ann_dir / "img0.png")
+    ann = {
+        "images": [{"id": 0, "file_name": "img0.jpg", "width": 30, "height": 20}],
+        "annotations": [{
+            "image_id": 0, "file_name": "img0.png",
+            "segments_info": [{"id": 5, "category_id": 2, "bbox": [3, 2, 9, 8],
+                               "area": 72, "iscrowd": 0}],
+        }],
+        "categories": [{"id": 2, "name": "thing", "isthing": 1}],
+    }
+    p = tmp_path / "panoptic.json"
+    p.write_text(json.dumps(ann))
+    ds = CocoPanopticDataset(img_dir, ann_dir, p)
+    assert len(ds) == 1
+    img, t = ds[0]
+    assert img.shape == (20, 30, 3)
+    np.testing.assert_allclose(t["boxes"][0], [3, 2, 12, 10])
+    assert t["labels"][0] == 2
+    assert t["masks"].shape == (1, 20, 30)
+    assert t["masks"][0, 5, 5] and not t["masks"][0, 0, 0]
+
+
+def test_checkpoint_roundtrip(tmp_path, rng):
+    from spe_tpu.config import SPEConfig
+    from spe_tpu.train.checkpoint import restore_checkpoint, save_checkpoint
+    from spe_tpu.train.train_step import TrainState
+
+    params = {"w": jnp.array(rng.normal(size=(4, 4)).astype(np.float32)),
+              "nested": {"b": jnp.arange(3, dtype=jnp.float32)}}
+    opt_state = {"m": jnp.zeros((4, 4))}
+    state = TrainState(jnp.int32(17), params, opt_state)
+    cfg = SPEConfig(epochs=3)
+    save_checkpoint(tmp_path / "ckpt", state, epoch=2, cfg=cfg)
+
+    zero = TrainState(jnp.int32(0),
+                      jax.tree_util.tree_map(jnp.zeros_like, params),
+                      jax.tree_util.tree_map(jnp.zeros_like, opt_state))
+    restored, epoch = restore_checkpoint(tmp_path / "ckpt", zero)
+    assert epoch == 2
+    assert int(restored.step) == 17
+    np.testing.assert_allclose(np.asarray(restored.params["w"]),
+                               np.asarray(params["w"]))
+    np.testing.assert_allclose(np.asarray(restored.params["nested"]["b"]),
+                               np.asarray(params["nested"]["b"]))
