@@ -82,18 +82,27 @@ class TalkingHeadsAttention(nn.Module):
                         (self.num_heads, self.num_heads), jnp.float32)
         bw = self.param("proj_w_bias", nn.initializers.zeros, (self.num_heads,), jnp.float32)
 
-        if self.use_pallas and (deterministic or self.attn_drop == 0.0):
-            # fused VMEM-resident kernel with custom-VJP backward; supports
-            # training when attention dropout is disabled. Interpret mode on
-            # non-TPU backends keeps the path testable on CPU.
+        if self.use_pallas:
+            # fused VMEM-resident kernel with custom-VJP backward; attention
+            # dropout runs in-kernel via the TPU PRNG (same seed + tiling
+            # regenerate the identical mask in the backward kernel).
+            # Interpret mode on non-TPU backends keeps the path testable.
             from spe_tpu.ops.pallas_attention_bwd import fused_talking_heads
 
             interpret = jax.default_backend() not in ("tpu", "axon")
-            q_tile = 256 if N % 256 == 0 else N
+            # q_tile must match between fwd and bwd (dropout mask identity);
+            # 128 keeps the bwd recompute within VMEM
+            q_tile = 128 if N % 128 == 0 else N
+            rate = 0.0 if deterministic else float(self.attn_drop)
+            if rate > 0.0:
+                key = self.make_rng("dropout")
+                seed = jax.random.randint(key, (1,), 0, 2**31 - 1).astype(jnp.float32)
+            else:
+                seed = None
             out = fused_talking_heads(
                 _split_heads(q, self.num_heads), _split_heads(k, self.num_heads),
-                _split_heads(v, self.num_heads), wl, bl, ww, bw,
-                q_tile, interpret)
+                _split_heads(v, self.num_heads), wl, bl, ww, bw, seed,
+                q_tile, interpret, rate)
             out = _merge_heads(out)
             out = nn.Dense(D, dtype=self.dtype, kernel_init=trunc_normal_init,
                            name="proj")(out)

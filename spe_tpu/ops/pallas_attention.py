@@ -27,7 +27,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(q_ref, k_ref, v_ref, wl_ref, bl_ref, ww_ref, bw_ref, o_ref):
+def _kernel(q_ref, k_ref, v_ref, wl_ref, bl_ref, ww_ref, bw_ref, seed_ref,
+            o_ref, *, dropout_rate: float = 0.0):
     # q_ref: (1, H, Tq, dh); k_ref/v_ref: (1, H, N, dh); wl/ww: (H, H); bl/bw: (H, 1)
     q = q_ref[0].astype(jnp.float32)
     k = k_ref[0].astype(jnp.float32)
@@ -61,6 +62,14 @@ def _kernel(q_ref, k_ref, v_ref, wl_ref, bl_ref, ww_ref, bw_ref, o_ref):
         probs.append(p / jnp.sum(p, axis=-1, keepdims=True))
 
     p2 = mix(probs, ww_ref, bw_ref)
+    if dropout_rate > 0.0:
+        # attention dropout AFTER the second mixing (reference cait.py:387);
+        # seed is deterministic per (batch, q_tile) so the backward kernel
+        # regenerates the identical mask
+        b = pl.program_id(0)
+        t = pl.program_id(1)
+        pltpu.prng_seed(seed_ref[0].astype(jnp.int32) + b * 65536 + t)
+        p2 = _apply_dropout(p2, dropout_rate)
     for j in range(H):
         out = jax.lax.dot_general(
             p2[j], v[j],
@@ -69,23 +78,42 @@ def _kernel(q_ref, k_ref, v_ref, wl_ref, bl_ref, ww_ref, bw_ref, o_ref):
         o_ref[0, j] = out.astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("q_tile", "interpret"))
-def talking_heads_attention(q, k, v, wl, bl, ww, bw, *, q_tile: int = 256,
-                            interpret: bool = False):
+def _apply_dropout(parts, rate: float):
+    """Inverted dropout on a list of (Tq, N) tiles using the TPU PRNG
+    (call pltpu.prng_seed first)."""
+    keep_prob = 1.0 - rate
+    thresh = jnp.uint32(int(keep_prob * (2**32 - 1)))
+    out = []
+    for p in parts:
+        bits = pltpu.prng_random_bits(p.shape)
+        keep = pltpu.bitcast(bits, jnp.uint32) <= thresh
+        out.append(jnp.where(keep, p / keep_prob, 0.0))
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("q_tile", "interpret", "dropout_rate"))
+def talking_heads_attention(q, k, v, wl, bl, ww, bw, seed=None, *,
+                            q_tile: int = 256, interpret: bool = False,
+                            dropout_rate: float = 0.0):
     """q/k/v: (B, H, N, dh); wl/ww: (H, H) mixing matrices (our layout:
     out_g = sum_h x_h * w[h, g]); bl/bw: (H,). Returns (B, H, N, dh).
 
-    Matches TalkingHeadsAttention's einsum path (pre-proj output) except
-    attention dropout (deterministic only).
+    Matches TalkingHeadsAttention's einsum path (pre-proj output).
+    `dropout_rate` > 0 applies attention dropout in-kernel via the TPU PRNG
+    seeded from `seed` (int32 scalar array).
     """
     B, H, N, dh = q.shape
     q_tile = min(q_tile, N)
     grid = (B, N // q_tile)
     bl2 = bl.reshape(H, 1)
     bw2 = bw.reshape(H, 1)
+    if seed is None:
+        seed = jnp.zeros((1,), jnp.float32)
+    # float carrier so custom_vjp can hand back an ordinary zero cotangent
+    seed = jnp.asarray(seed, jnp.float32).reshape(1)
 
     return pl.pallas_call(
-        _kernel,
+        functools.partial(_kernel, dropout_rate=dropout_rate),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, H, q_tile, dh), lambda b, i: (b, 0, i, 0),
@@ -98,12 +126,14 @@ def talking_heads_attention(q, k, v, wl, bl, ww, bw, *, q_tile: int = 256,
             pl.BlockSpec((H, 1), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((H, H), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((H, 1), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((1, H, q_tile, dh), lambda b, i: (b, 0, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, H, N, dh), q.dtype),
-        interpret=interpret,
-    )(q, k, v, wl, bl2, ww, bw2)
+        # bool -> TPU-semantics interpreter (emulates pltpu primitives on CPU)
+        interpret=pltpu.InterpretParams() if interpret else False,
+    )(q, k, v, wl, bl2, ww, bw2, seed)
 
 
 def talking_heads_reference(q, k, v, wl, bl, ww, bw):

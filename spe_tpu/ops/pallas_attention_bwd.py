@@ -32,9 +32,9 @@ from jax.experimental.pallas import tpu as pltpu
 from spe_tpu.ops.pallas_attention import talking_heads_attention
 
 
-def _bwd_kernel(q_ref, k_ref, v_ref, wl_ref, bl_ref, ww_ref, bw_ref, dy_ref,
-                dq_ref, dk_ref, dv_ref, dwl_ref, dbl_ref, dww_ref, dbw_ref,
-                *, q_tile: int):
+def _bwd_kernel(q_ref, k_ref, v_ref, wl_ref, bl_ref, ww_ref, bw_ref, seed_ref,
+                dy_ref, dq_ref, dk_ref, dv_ref, dwl_ref, dbl_ref, dww_ref,
+                dbw_ref, *, q_tile: int, dropout_rate: float = 0.0):
     H = q_ref.shape[1]
     N = k_ref.shape[2]
     dh = q_ref.shape[3]
@@ -66,7 +66,7 @@ def _bwd_kernel(q_ref, k_ref, v_ref, wl_ref, bl_ref, ww_ref, bw_ref, dy_ref,
 
         # --- recompute forward for this tile ---
         L = [dot(q[h], k[h], tb=True) * scale for h in range(H)]  # (Tq, N)
-        M, P = [], []
+        P = []
         for g in range(H):
             m = L[0] * wl_ref[0, g]
             for h in range(1, H):
@@ -75,17 +75,31 @@ def _bwd_kernel(q_ref, k_ref, v_ref, wl_ref, bl_ref, ww_ref, bw_ref, dy_ref,
             mx = jnp.max(m, axis=-1, keepdims=True)
             e = jnp.exp(m - mx)
             P.append(e / jnp.sum(e, axis=-1, keepdims=True))
-            M.append(m)
 
-        # --- P2 (for dV) and dP2 ---
+        # --- regenerate the forward's dropout masks (same seed order) ---
+        if dropout_rate > 0.0:
+            b_id = pl.program_id(0)
+            pltpu.prng_seed(seed_ref[0].astype(jnp.int32) + b_id * 65536 + t)
+            keep_prob = 1.0 - dropout_rate
+            thresh = jnp.uint32(int(keep_prob * (2**32 - 1)))
+            keeps = []
+            for _ in range(H):
+                bits = pltpu.prng_random_bits((q_tile, k_ref.shape[2]))
+                keeps.append(pltpu.bitcast(bits, jnp.uint32) <= thresh)
+
+        # --- Z = dropout(P2) (for dV) and dP2 through the dropout ---
         for j in range(H):
             p2 = P[0] * ww_ref[0, j]
             for g in range(1, H):
                 p2 = p2 + P[g] * ww_ref[g, j]
             p2 = p2 + bw_ref[j, 0]
+            if dropout_rate > 0.0:
+                p2 = jnp.where(keeps[j], p2 / keep_prob, 0.0)
             dv_ref[0, j] += dot(p2, dy[j], ta=True).astype(dv_ref.dtype)
 
         dP2 = [dot(dy[j], v[j], tb=True) for j in range(H)]      # (Tq, N)
+        if dropout_rate > 0.0:
+            dP2 = [jnp.where(keeps[j], dP2[j] / keep_prob, 0.0) for j in range(H)]
         for j in range(H):
             dbw_ref[0, j, 0] += jnp.sum(dP2[j])
             for g in range(H):
@@ -110,22 +124,24 @@ def _bwd_kernel(q_ref, k_ref, v_ref, wl_ref, bl_ref, ww_ref, bw_ref, dy_ref,
             dk_ref[0, h] += (dot(dl, q[h], ta=True) * scale).astype(dk_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("q_tile", "interpret"))
-def _bwd_call(q, k, v, wl, bl, ww, bw, dy, *, q_tile: int = 128,
-              interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("q_tile", "interpret", "dropout_rate"))
+def _bwd_call(q, k, v, wl, bl, ww, bw, seed, dy, *, q_tile: int = 128,
+              interpret: bool = False, dropout_rate: float = 0.0):
     B, H, N, dh = q.shape
     q_tile = min(q_tile, N)
     bl2 = bl.reshape(H, 1)
     bw2 = bw.reshape(H, 1)
+    seed = jnp.asarray(seed, jnp.float32).reshape(1)
     full = lambda: pl.BlockSpec((1, H, N, dh), lambda b: (b, 0, 0, 0),
                                 memory_space=pltpu.VMEM)
     small = lambda r, c: pl.BlockSpec((r, c), lambda b: (0, 0),
                                       memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        functools.partial(_bwd_kernel, q_tile=q_tile),
+        functools.partial(_bwd_kernel, q_tile=q_tile, dropout_rate=dropout_rate),
         grid=(B,),
         in_specs=[full(), full(), full(), small(H, H), small(H, 1),
-                  small(H, H), small(H, 1), full()],
+                  small(H, H), small(H, 1),
+                  pl.BlockSpec(memory_space=pltpu.SMEM), full()],
         out_specs=(full(), full(), full(),
                    # small mixing-matrix grads accumulate SCALARS: SMEM
                    # (Mosaic rejects scalar stores to VMEM)
@@ -142,8 +158,8 @@ def _bwd_call(q, k, v, wl, bl, ww, bw, dy, *, q_tile: int = 128,
             jax.ShapeDtypeStruct((B, H, H), jnp.float32),
             jax.ShapeDtypeStruct((B, H, 1), jnp.float32),
         ),
-        interpret=interpret,
-    )(q, k, v, wl, bl2, ww, bw2, dy)
+        interpret=pltpu.InterpretParams() if interpret else False,
+    )(q, k, v, wl, bl2, ww, bw2, seed, dy)
     dq, dk, dv, dwl, dbl, dww, dbw = out
     return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype),
             dwl.sum(0), dbl.sum(0)[:, 0], dww.sum(0), dbw.sum(0)[:, 0])
@@ -153,23 +169,33 @@ def _bwd_call(q, k, v, wl, bl, ww, bw, dy, *, q_tile: int = 128,
 # custom_vjp wrapper: training-ready fused attention
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
-def fused_talking_heads(q, k, v, wl, bl, ww, bw, q_tile: int = 256,
-                        interpret: bool = False):
-    return talking_heads_attention(q, k, v, wl, bl, ww, bw, q_tile=q_tile,
-                                   interpret=interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
+def fused_talking_heads(q, k, v, wl, bl, ww, bw, seed=None,
+                        q_tile: int = 256, interpret: bool = False,
+                        dropout_rate: float = 0.0):
+    if seed is None:
+        seed = jnp.zeros((1,), jnp.float32)
+    return talking_heads_attention(q, k, v, wl, bl, ww, bw, seed,
+                                   q_tile=q_tile, interpret=interpret,
+                                   dropout_rate=dropout_rate)
 
 
-def _fwd(q, k, v, wl, bl, ww, bw, q_tile, interpret):
-    y = talking_heads_attention(q, k, v, wl, bl, ww, bw, q_tile=q_tile,
-                                interpret=interpret)
-    return y, (q, k, v, wl, bl, ww, bw)
+def _fwd(q, k, v, wl, bl, ww, bw, seed, q_tile, interpret, dropout_rate):
+    if seed is None:
+        seed = jnp.zeros((1,), jnp.float32)
+    y = talking_heads_attention(q, k, v, wl, bl, ww, bw, seed, q_tile=q_tile,
+                                interpret=interpret, dropout_rate=dropout_rate)
+    return y, (q, k, v, wl, bl, ww, bw, seed)
 
 
-def _bwd(q_tile, interpret, res, dy):
-    q, k, v, wl, bl, ww, bw = res
-    return _bwd_call(q, k, v, wl, bl, ww, bw, dy,
-                     q_tile=min(q_tile, 128), interpret=interpret)
+def _bwd(q_tile, interpret, dropout_rate, res, dy):
+    q, k, v, wl, bl, ww, bw, seed = res
+    # forward tiles with q_tile; backward regenerates masks per forward tile
+    # index, so the SAME tiling must be used (dropout determinism)
+    grads = _bwd_call(q, k, v, wl, bl, ww, bw, seed, dy,
+                      q_tile=q_tile, interpret=interpret,
+                      dropout_rate=dropout_rate)
+    return grads + (jnp.zeros_like(jnp.asarray(seed, jnp.float32).reshape(1)),)
 
 
 fused_talking_heads.defvjp(_fwd, _bwd)
