@@ -14,7 +14,6 @@ Flag names keep parity with reference main.py:35-147.
 
 from __future__ import annotations
 
-import dataclasses
 import json
 import time
 from pathlib import Path

@@ -14,7 +14,7 @@ and merging via `merge()` — no pickle over the wire.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Sequence
 
 import numpy as np
 

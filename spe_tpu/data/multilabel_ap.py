@@ -4,8 +4,6 @@ used to monitor the weak classification heads."""
 
 from __future__ import annotations
 
-from typing import Optional
-
 import numpy as np
 
 

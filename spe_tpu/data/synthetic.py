@@ -8,7 +8,7 @@ train/eval stack can be exercised end-to-end without VOC/COCO downloads.
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 from PIL import Image

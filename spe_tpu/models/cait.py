@@ -21,8 +21,6 @@ Differences from the reference (deliberate, TPU-first):
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Optional, Tuple
-
 import flax.linen as nn
 import jax.numpy as jnp
 

@@ -16,8 +16,6 @@ where the transformation is identity, transformer.py:222-226).
 
 from __future__ import annotations
 
-from typing import Optional
-
 import flax.linen as nn
 import jax.numpy as jnp
 

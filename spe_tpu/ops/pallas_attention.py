@@ -78,17 +78,31 @@ def _kernel(q_ref, k_ref, v_ref, wl_ref, bl_ref, ww_ref, bw_ref, seed_ref,
         o_ref[0, j] = out.astype(o_ref.dtype)
 
 
+def _dropout_masks(shape, n: int, rate: float):
+    """n keep-masks of `shape` from ceil(n/4) uint32 draws: each mask uses a
+    distinct byte plane (8-bit threshold => keep_prob quantized to 1/256,
+    e.g. rate 0.05 -> 0.0508). 4x less PRNG traffic than per-mask draws.
+    Call pltpu.prng_seed first; generation order is part of the fwd/bwd
+    mask-identity contract."""
+    thresh_i = int((1.0 - rate) * 255.0)
+    thresh = jnp.uint32(thresh_i)
+    # exact quantized keep probability: P(byte <= thresh) = (thresh+1)/256;
+    # scaling by it keeps the estimator unbiased (measured on-device)
+    keep_prob = (thresh_i + 1) / 256.0
+    masks = []
+    for i in range(0, n, 4):
+        bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+        for b in range(min(4, n - i)):
+            plane = (bits >> jnp.uint32(8 * b)) & jnp.uint32(0xFF)
+            masks.append(plane <= thresh)
+    return masks, keep_prob
+
+
 def _apply_dropout(parts, rate: float):
     """Inverted dropout on a list of (Tq, N) tiles using the TPU PRNG
     (call pltpu.prng_seed first)."""
-    keep_prob = 1.0 - rate
-    thresh = jnp.uint32(int(keep_prob * (2**32 - 1)))
-    out = []
-    for p in parts:
-        bits = pltpu.prng_random_bits(p.shape)
-        keep = pltpu.bitcast(bits, jnp.uint32) <= thresh
-        out.append(jnp.where(keep, p / keep_prob, 0.0))
-    return out
+    masks, keep_prob = _dropout_masks(parts[0].shape, len(parts), rate)
+    return [jnp.where(m, p / keep_prob, 0.0) for p, m in zip(parts, masks)]
 
 
 @functools.partial(jax.jit, static_argnames=("q_tile", "interpret", "dropout_rate"))

@@ -78,14 +78,12 @@ def _bwd_kernel(q_ref, k_ref, v_ref, wl_ref, bl_ref, ww_ref, bw_ref, seed_ref,
 
         # --- regenerate the forward's dropout masks (same seed order) ---
         if dropout_rate > 0.0:
+            from spe_tpu.ops.pallas_attention import _dropout_masks
+
             b_id = pl.program_id(0)
             pltpu.prng_seed(seed_ref[0].astype(jnp.int32) + b_id * 65536 + t)
-            keep_prob = 1.0 - dropout_rate
-            thresh = jnp.uint32(int(keep_prob * (2**32 - 1)))
-            keeps = []
-            for _ in range(H):
-                bits = pltpu.prng_random_bits((q_tile, k_ref.shape[2]))
-                keeps.append(pltpu.bitcast(bits, jnp.uint32) <= thresh)
+            keeps, keep_prob = _dropout_masks((q_tile, k_ref.shape[2]), H,
+                                              dropout_rate)
 
         # --- Z = dropout(P2) (for dV) and dP2 through the dropout ---
         for j in range(H):

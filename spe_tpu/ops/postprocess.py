@@ -14,8 +14,6 @@ Rebuilds of the reference post-processing heads (conditional_detr.py):
 from __future__ import annotations
 
 import functools
-from typing import Dict
-
 import jax
 import jax.numpy as jnp
 

@@ -6,9 +6,8 @@ from __future__ import annotations
 import dataclasses
 import json
 from pathlib import Path
-from typing import Any, Optional, Tuple
+from typing import Tuple
 
-import jax
 import orbax.checkpoint as ocp
 
 from spe_tpu.config import SPEConfig

@@ -23,8 +23,7 @@ Differences from the reference, by design:
 
 from __future__ import annotations
 
-import functools
-from typing import Callable, Dict, Optional
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp

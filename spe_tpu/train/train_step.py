@@ -18,7 +18,6 @@ derivation in the docstring of spe_tpu/train/criterion.py.
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, NamedTuple
 
 import jax
