@@ -81,14 +81,17 @@ def _eval_outputs(model, params, batch, *, refine_stage: int, use_aux_layer: boo
 
 def evaluate_coco(model, params, loader, gt_coco: Dict, cfg: SPEConfig,
                   refine_stage: int = 0, keep: int = 100,
-                  nms_iou: float = 0.5) -> Dict[str, float]:
+                  nms_iou: float = 0.5, use_aux_layer: bool = True) -> Dict[str, float]:
+    """use_aux_layer=True evaluates the second-to-last decoder layer like the
+    reference's evaluate_refinements (engine.py:642); False evaluates the
+    final layer (the reference's plain `evaluate`, engine.py:447)."""
     evaluator = CocoEvaluator(gt_coco)
 
     @jax.jit
     def infer(params, images, pad_mask, orig_sizes):
         outs, _ = _eval_outputs(model, params,
                                 {"images": images, "pad_mask": pad_mask},
-                                refine_stage=refine_stage, use_aux_layer=True)
+                                refine_stage=refine_stage, use_aux_layer=use_aux_layer)
         res = postprocess_topk(outs["pred_logits"], outs["pred_boxes"],
                                orig_sizes.astype(jnp.float32), keep_queries=keep)
         keep_mask = batched_nms(res["boxes"], res["scores"], res["labels"],
@@ -102,7 +105,41 @@ def evaluate_coco(model, params, loader, gt_coco: Dict, cfg: SPEConfig,
         evaluator.update_from_arrays(
             batch["image_id"], np.asarray(res["boxes"]), np.asarray(res["scores"]),
             np.asarray(res["labels"]), np.asarray(keep_mask))
+    merge_across_processes(evaluator)
     return evaluator.summarize()
+
+
+def merge_across_processes(evaluator, max_dets: int = 200_000) -> None:
+    """Cross-host eval merge: fixed-shape array gather instead of the
+    reference's pickle-based all_gather (coco_eval.py:178-207). Each host
+    packs its detections into one padded float array
+    [valid, image_id, category_id, x, y, w, h, score]; process_allgather
+    moves them over ICI/DCN; every host rebuilds the full detection set.
+    No-op with a single process."""
+    if jax.process_count() == 1:
+        return
+    from jax.experimental import multihost_utils
+
+    rows = []
+    for (img, cat), ds in evaluator._dt.items():
+        for d in ds:
+            b = d["bbox"]
+            rows.append([1.0, img, cat, b[0], b[1], b[2], b[3], d["score"]])
+    arr = np.zeros((max_dets, 8), np.float32)
+    if rows:
+        packed = np.asarray(rows[:max_dets], np.float32)
+        arr[: len(packed)] = packed
+    gathered = multihost_utils.process_allgather(arr)  # (P, max_dets, 8)
+    for k in evaluator._dt:
+        evaluator._dt[k] = []
+    for p in range(gathered.shape[0]):
+        plane = gathered[p]
+        for row in plane[plane[:, 0] > 0.5]:
+            evaluator.update([{
+                "image_id": int(row[1]), "category_id": int(row[2]),
+                "bbox": [float(row[3]), float(row[4]), float(row[5]), float(row[6])],
+                "score": float(row[7]),
+            }])
 
 
 def _flip_merge(out_n, out_f):

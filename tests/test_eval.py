@@ -127,3 +127,14 @@ def test_coco_eval_merge():
     ev1.merge(ev2)
     stats = ev1.summarize()
     assert abs(stats["AP50"] - 1.0) < 1e-6
+
+
+def test_merge_across_processes_single_host_noop():
+    from spe_tpu.train.engine import merge_across_processes
+
+    gt = _gt([0], [(0, 1, [10, 10, 20, 20])])
+    ev = CocoEvaluator(gt)
+    ev.update([{"image_id": 0, "category_id": 1, "bbox": [10, 10, 20, 20],
+                "score": 0.9}])
+    merge_across_processes(ev)  # process_count == 1 -> no-op
+    assert abs(ev.summarize()["AP50"] - 1.0) < 1e-6
