@@ -68,14 +68,17 @@ def train_one_epoch(step_fn, state, loader, epoch: int, cfg: SPEConfig,
 # Eval
 # ---------------------------------------------------------------------------
 
-def _eval_outputs(model, params, batch, *, refine_stage: int, use_aux_layer: bool):
+def _eval_outputs(model, params, batch, *, refine_stage: int, use_aux_layer: bool,
+                  layer: int = -1):
+    """layer selects the aux decoder layer when use_aux_layer (default -1 =
+    second-to-last overall, engine.py:642; other indices reproduce the
+    reference's evaluate_refinements_specific_layer, engine.py:727)."""
     out = model.apply(params, batch["images"], pad_mask=batch.get("pad_mask"),
                       deterministic=True)
     st = out["stages"][refine_stage]
     if use_aux_layer:
-        # aux[-1] = second-to-last decoder layer (engine.py:642)
-        return {"pred_logits": st["aux_pred_logits"][-1],
-                "pred_boxes": st["aux_pred_boxes"][-1]}, out
+        return {"pred_logits": st["aux_pred_logits"][layer],
+                "pred_boxes": st["aux_pred_boxes"][layer]}, out
     return {"pred_logits": st["pred_logits"], "pred_boxes": st["pred_boxes"]}, out
 
 
