@@ -68,6 +68,17 @@ def main(argv=None):
     tx = make_optimizer(cfg, steps_per_epoch, params)
     state = TrainState(jnp.int32(0), params, tx.init(params))
 
+    if cfg.frozen_weights:
+        # load detector weights for segmentation-only training (reference
+        # main.py:218-220). The frozen checkpoint predates the segm head, so
+        # merge its params into ours by key instead of strict restore.
+        assert cfg.masks, "Frozen training is meant for segmentation only"
+        from spe_tpu.train.checkpoint import load_params_lenient
+
+        merged = load_params_lenient(cfg.frozen_weights, state.params)
+        state = TrainState(state.step, merged, state.opt_state)
+        print(f"loaded frozen detector weights from {cfg.frozen_weights}")
+
     start_epoch = cfg.start_epoch
     if cfg.resume:
         state, last_epoch = restore_checkpoint(cfg.resume, state)

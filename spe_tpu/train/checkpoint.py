@@ -34,6 +34,20 @@ def _jsonable(x):
     return str(x)
 
 
+def load_params_lenient(path, params):
+    """Merge a checkpoint's params into `params` by matching tree paths;
+    keys absent from the checkpoint (e.g. a new segm head) keep their
+    initialization. Used by --frozen_weights (reference main.py:218-220)."""
+    import flax
+
+    ckptr = ocp.StandardCheckpointer()
+    raw = ckptr.restore(Path(path).resolve() / "state")
+    saved = flax.traverse_util.flatten_dict(raw["params"])
+    ours = flax.traverse_util.flatten_dict(params)
+    merged = {k: saved.get(k, v) for k, v in ours.items()}
+    return flax.traverse_util.unflatten_dict(merged)
+
+
 def restore_checkpoint(path, state: TrainState) -> Tuple[TrainState, int]:
     """Restore into the given abstract/concrete state; returns (state, epoch)."""
     path = Path(path).resolve()

@@ -70,3 +70,21 @@ def test_checkpoint_roundtrip(tmp_path, rng):
                                np.asarray(params["w"]))
     np.testing.assert_allclose(np.asarray(restored.params["nested"]["b"]),
                                np.asarray(params["nested"]["b"]))
+
+
+def test_load_params_lenient(tmp_path, rng):
+    from spe_tpu.config import SPEConfig
+    from spe_tpu.train.checkpoint import load_params_lenient, save_checkpoint
+    from spe_tpu.train.train_step import TrainState
+
+    params = {"params": {"backbone": {"w": jnp.array(rng.normal(size=(3, 3)).astype(np.float32))}}}
+    state = TrainState(jnp.int32(5), params, {"m": jnp.zeros(2)})
+    save_checkpoint(tmp_path / "ck", state, epoch=1, cfg=SPEConfig())
+
+    # target has an EXTRA head the checkpoint lacks
+    target = {"params": {"backbone": {"w": jnp.zeros((3, 3))},
+                         "segm_head": {"k": jnp.full((2,), 7.0)}}}
+    merged = load_params_lenient(tmp_path / "ck", target)
+    np.testing.assert_allclose(np.asarray(merged["params"]["backbone"]["w"]),
+                               np.asarray(params["params"]["backbone"]["w"]))
+    np.testing.assert_allclose(np.asarray(merged["params"]["segm_head"]["k"]), 7.0)
