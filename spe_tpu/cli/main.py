@@ -37,7 +37,10 @@ def main(argv=None):
     from spe_tpu.train.checkpoint import restore_checkpoint, save_checkpoint
     from spe_tpu.train.optim import make_optimizer
     from spe_tpu.train.train_step import Gates, TrainState, make_train_step
+    from spe_tpu.utils.misc import get_sha, setup_for_distributed
 
+    setup_for_distributed(jax.process_index() == 0)  # util/misc.py:370-382
+    print(f"git:\n  {get_sha()}\n")  # reference main.py:152
     cfg = config_from_args(argv)
     print(cfg)
 
@@ -54,15 +57,43 @@ def main(argv=None):
     loader_train = DataLoader(ds_train, cfg.batch_size, cfg.num_classes,
                               fixed_size=fixed, seed=cfg.seed,
                               process_index=jax.process_index(),
-                              process_count=jax.process_count())
+                              process_count=jax.process_count(),
+                              use_native=cfg.use_native_loader,
+                              num_threads=cfg.num_workers)
     loader_val = DataLoader(ds_val, cfg.batch_size, cfg.num_classes,
-                            fixed_size=fixed, shuffle=False, drop_last=False)
+                            fixed_size=fixed, shuffle=False, drop_last=False,
+                            use_native=cfg.use_native_loader, train=False,
+                            num_threads=cfg.num_workers,
+                            max_gt=cfg.max_gt_boxes)
+    if loader_train.use_native:
+        print("data: native C++ decode path enabled")
 
     sample = jnp.zeros((1, cfg.max_size if cfg.fixed_size else 512,
                         cfg.max_size if cfg.fixed_size else 512, 3), jnp.float32)
     params = jax.jit(lambda: model.init(jax.random.PRNGKey(cfg.seed), sample))()
     n_params = sum(p.size for p in jax.tree_util.tree_leaves(params))
     print(f"number of params: {n_params}")
+
+    if cfg.backbone_weights:
+        # pretrained backbone init (reference timm pretrained=True +
+        # finetune_det, cait.py:1676-1700/728-742)
+        from spe_tpu.models.convert import (convert_backbone,
+                                            load_torch_checkpoint,
+                                            merge_pretrained_backbone)
+        from spe_tpu.train.checkpoint import resolve_resume
+
+        sd = load_torch_checkpoint(resolve_resume(cfg.backbone_weights))
+        bb_cfg = model.backbone_cfg
+        converted = convert_backbone(sd, depth=bb_cfg.depth,
+                                     layer_to_det=bb_cfg.layer_to_det,
+                                     depth_token_only=bb_cfg.depth_token_only,
+                                     two_branch=bb_cfg.two_branch)
+        params = dict(params)
+        params["params"] = dict(params["params"])
+        params["params"]["backbone"] = merge_pretrained_backbone(
+            params["params"]["backbone"], converted)
+        params = jax.device_put(params)
+        print(f"initialized backbone from {cfg.backbone_weights}")
 
     steps_per_epoch = max(loader_train.steps_per_epoch(), 1)
     tx = make_optimizer(cfg, steps_per_epoch, params)
@@ -91,7 +122,7 @@ def main(argv=None):
     step_fn = jax.jit(make_train_step(model, cfg, tx, num_devices=n_dev),
                       out_shardings=(rep, rep), donate_argnums=(0,))
 
-    def run_eval(params):
+    def run_eval(params, epoch: int = 0):
         if cfg.dataset_eval == "voc_voc":
             stats = engine.evaluate_voc(model, params, loader_val, ds_val, cfg,
                                         with_flip=cfg.eval)
@@ -99,10 +130,17 @@ def main(argv=None):
         else:
             # main_coco.py:360-368 evaluates every refine head per epoch
             gt = (ds_val.coco_gt() if hasattr(ds_val, "coco_gt") else ds_val.raw)
+            # eval artifacts like reference main_coco.py:398-407 (eval/*.pth)
+            eval_dir = None
+            if cfg.output_dir:
+                eval_dir = Path(cfg.output_dir) / "eval"
+                eval_dir.mkdir(parents=True, exist_ok=True)
             stats = {}
             for stage in range(cfg.num_refines + 1):
+                save = (eval_dir / f"stage{stage}_{epoch:03d}.npz"
+                        if eval_dir else None)
                 s = engine.evaluate_coco(model, params, loader_val, gt, cfg,
-                                         refine_stage=stage)
+                                         refine_stage=stage, eval_save_path=save)
                 print(f"COCO eval (stage {stage}):",
                       {k: round(v, 4) for k, v in s.items()})
                 if stage == 0:
@@ -128,7 +166,7 @@ def main(argv=None):
             jax.random.fold_in(rng, epoch), mesh=mesh)
 
         if jax.process_index() == 0:
-            eval_stats = run_eval(state.params)
+            eval_stats = run_eval(state.params, epoch)
             if output_dir:
                 save_checkpoint(output_dir / "checkpoint", state, epoch, cfg)
                 save_checkpoint(output_dir / f"checkpoint{epoch:04d}", state, epoch, cfg)

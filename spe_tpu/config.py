@@ -39,6 +39,10 @@ class SPEConfig:
     # --- backbone (main.py:50-62) ---
     frozen_weights: Optional[str] = None
     backbone: str = "TSCAM_cait_XXS24"
+    # pretrained backbone init: local path or URL of a torch .pth (DeiT/CaiT
+    # classification or SPE checkpoint). Replaces the reference's implicit
+    # timm `pretrained=True` download (cait.py:1676-1700).
+    backbone_weights: Optional[str] = None
     dilation: bool = False
     position_embedding: str = "sine"
     backbone_drop_rate: float = 0.0
@@ -118,9 +122,12 @@ class SPEConfig:
     mesh_shape: Tuple[int, ...] = (-1,)
     # pallas kernels
     use_pallas_attention: bool = False
-    # assignment solver: 'auction' (on-device) or 'hungarian_cpu' (oracle)
+    # assignment solver: 'auction' (on-device) or 'hungarian_cpu' (oracle).
+    # (No eps-scaling knob: scaling rounds break the rectangular duality
+    # argument the auction solver's correctness rests on — ops/assignment.py.)
     assignment: str = "auction"
-    auction_eps_scaling: int = 3
+    # C++ data path (libjpeg decode + resize + normalize off the GIL)
+    use_native_loader: bool = True
 
     # runtime-derived (mutated like the reference mutates args)
     num_classes: int = 20             # dataset classes (20 VOC / 90 COCO)
@@ -142,6 +149,31 @@ class SPEConfig:
 
     def cam_thr_at_epoch(self, epoch: int) -> float:
         return self.cam_thr if epoch < self.cam_thr_drop_epoch else self.cam_thr_low
+
+    def validate(self) -> "SPEConfig":
+        """Reject flags the live reference path cannot honor, instead of
+        silently ignoring them (the reference accepts-and-ignores these).
+
+        - drloc: dead upstream — references undefined Munch/self.drloc_embed
+          and crashes if passed (reference transformer.py:105-118).
+        - dilation: only meaningful for the dead ResNet backbone
+          (reference models/backbone.py, superseded by cait_backbone.py).
+        - drop_block_rate: the reference hardcodes drop_block_rate=None into
+          create_model (cait_backbone.py:81); CaiT has no drop-block.
+        """
+        if self.drloc:
+            raise ValueError(
+                "--drloc is not supported: the path is dead in the reference "
+                "(crashes on undefined drloc_embed, transformer.py:105-118)")
+        if self.dilation:
+            raise ValueError(
+                "--dilation only applies to the reference's dead ResNet "
+                "backbone; CaiT backbones have no strided conv stage")
+        if self.drop_block_rate:
+            raise ValueError(
+                "--drop_block_rate is ignored by the reference itself "
+                "(cait_backbone.py:81 passes None); refusing to accept it")
+        return self
 
     def replace(self, **kw) -> "SPEConfig":
         return dataclasses.replace(self, **kw)
@@ -272,4 +304,4 @@ def config_from_args(argv=None) -> SPEConfig:
     base = PRESETS[preset]() if preset else SPEConfig()
     provided = {k: v for k, v in vars(args).items()
                 if k in _FLAG_FIELDS and k != "preset"}
-    return base.replace(**provided)
+    return base.replace(**provided).validate()

@@ -44,7 +44,8 @@ def build_dataset(image_set: str, dataset_file: str, cfg: SPEConfig):
 
         splits = ([("VOC2007", "trainval"), ("VOC2012", "trainval")]
                   if train else [("VOC2007", "test")])
-        return VOCDevkitDataset(cfg.test_path, splits, transform=tf)
+        return VOCDevkitDataset(cfg.test_path, splits, transform=tf,
+                                keep_difficult=not cfg.remove_difficult)
     if dataset_file == "coco_panoptic":
         from spe_tpu.data.coco_panoptic import CocoPanopticDataset
 

@@ -184,6 +184,17 @@ class CocoEvaluator:
         self._evaluated = {"precision": precision, "recall": recall}
         return self._evaluated
 
+    def save_eval(self, path) -> None:
+        """Persist the accumulated precision/recall arrays — the analog of the
+        reference's `eval.pth` artifacts (main_coco.py:398-407, which torch.saves
+        coco_eval.eval per epoch). Written as .npz."""
+        if self._evaluated is None:
+            self.accumulate()
+        np.savez_compressed(path, precision=self._evaluated["precision"],
+                            recall=self._evaluated["recall"],
+                            iou_thrs=IOU_THRS, rec_thrs=REC_THRS,
+                            cat_ids=np.asarray(self.cat_ids))
+
     def summarize(self) -> Dict[str, float]:
         if self._evaluated is None:
             self.accumulate()

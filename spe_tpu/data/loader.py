@@ -20,8 +20,12 @@ import numpy as np
 
 
 def collate(samples: Sequence, num_classes: int, fixed_size: Optional[int] = None,
-            size_divisor: int = 16) -> Dict[str, np.ndarray]:
-    """samples: list of (image (H,W,3) float32, target dict)."""
+            size_divisor: int = 16, max_gt: int = 0) -> Dict[str, np.ndarray]:
+    """samples: list of (image (H,W,3) float32, target dict).
+
+    max_gt > 0 additionally emits padded GT arrays (gt_boxes normalized
+    cxcywh in the resized image frame, gt_labels det-class columns = label+1,
+    gt_mask) for eval-time criterion losses (reference engine.py:644-660)."""
     imgs = [s[0] for s in samples]
     targets = [s[1] for s in samples]
     if fixed_size is not None:
@@ -47,6 +51,24 @@ def collate(samples: Sequence, num_classes: int, fixed_size: Optional[int] = Non
         "orig_size": np.stack([t["orig_size"] for t in targets]).astype(np.int64),
         "size": np.stack([t.get("size", t["orig_size"]) for t in targets]).astype(np.int64),
     }
+    if max_gt > 0:
+        gt_boxes = np.zeros((B, max_gt, 4), np.float32)
+        gt_boxes[..., 2:] = 1e-3  # degenerate-free padding
+        gt_labels = np.zeros((B, max_gt), np.int32)
+        gt_mask = np.zeros((B, max_gt), bool)
+        for b, t in enumerate(targets):
+            bx = np.asarray(t.get("boxes", np.zeros((0, 4))), np.float32)
+            n = min(len(bx), max_gt)
+            if n:
+                h, w = batch["size"][b]
+                cxcywh = np.stack([(bx[:n, 0] + bx[:n, 2]) / 2 / w,
+                                   (bx[:n, 1] + bx[:n, 3]) / 2 / h,
+                                   (bx[:n, 2] - bx[:n, 0]) / w,
+                                   (bx[:n, 3] - bx[:n, 1]) / h], axis=-1)
+                gt_boxes[b, :n] = cxcywh
+                gt_labels[b, :n] = np.asarray(t["labels"][:n], np.int32)
+                gt_mask[b, :n] = True
+        batch.update(gt_boxes=gt_boxes, gt_labels=gt_labels, gt_mask=gt_mask)
     return batch
 
 
@@ -59,11 +81,13 @@ class DataLoader:
                  drop_last: bool = True, seed: int = 0,
                  process_index: int = 0, process_count: int = 1,
                  prefetch: int = 2, num_threads: int = 2,
-                 use_native: bool = False, train: bool = True):
+                 use_native: bool = False, train: bool = True,
+                 max_gt: int = 0):
         self.ds = dataset
         self.batch_size = batch_size
         self.num_classes = num_classes
         self.fixed_size = fixed_size
+        self.max_gt = max_gt
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.seed = seed
@@ -117,7 +141,8 @@ class DataLoader:
                 t["boxes"] = b
             t["size"] = np.array([S, S], np.int64)
             targets.append(t)
-        batch = collate(list(zip(images, targets)), self.num_classes, S)
+        batch = collate(list(zip(images, targets)), self.num_classes, S,
+                        max_gt=self.max_gt)
         return batch
 
     def epoch(self, epoch: int) -> Iterator[Dict[str, np.ndarray]]:
@@ -136,7 +161,8 @@ class DataLoader:
                 if b is not None:
                     return b
             samples = [self.ds[i] for i in bidx]
-            return collate(samples, self.num_classes, self.fixed_size)
+            return collate(samples, self.num_classes, self.fixed_size,
+                           max_gt=self.max_gt)
 
         def worker():
             try:

@@ -48,9 +48,52 @@ def load_params_lenient(path, params):
     return flax.traverse_util.unflatten_dict(merged)
 
 
+def resolve_resume(resume: str, cache_dir=None) -> Path:
+    """Support URL checkpoints like the reference's torch.hub download
+    (main.py:224-226). Orbax checkpoints are directories, so a URL must
+    point at a .zip/.tar(.gz) archive of one; it is downloaded once into
+    ~/.cache/spe_tpu/checkpoints and extracted."""
+    if "://" not in resume:
+        return Path(resume)
+    import os
+    import urllib.parse
+    import urllib.request
+
+    cache = Path(cache_dir or os.path.expanduser("~/.cache/spe_tpu/checkpoints"))
+    cache.mkdir(parents=True, exist_ok=True)
+    name = Path(urllib.parse.urlparse(resume).path).name
+    local = cache / name
+    if not local.exists():
+        print(f"downloading checkpoint {resume} -> {local}")
+        urllib.request.urlretrieve(resume, local)
+    for suffix, opener in ((".zip", "zip"), (".tar.gz", "tar"), (".tgz", "tar"),
+                           (".tar", "tar")):
+        if name.endswith(suffix):
+            dest = cache / name[: -len(suffix)]
+            if not dest.exists():
+                if opener == "zip":
+                    import zipfile
+
+                    with zipfile.ZipFile(local) as z:
+                        z.extractall(dest)
+                else:
+                    import tarfile
+
+                    with tarfile.open(local) as t:
+                        t.extractall(dest)
+            # archives may wrap the checkpoint in a single root directory
+            entries = [p for p in dest.iterdir() if p.name != "__MACOSX"]
+            if len(entries) == 1 and entries[0].is_dir() and not (
+                    dest / "meta.json").exists():
+                return entries[0]
+            return dest
+    return local
+
+
 def restore_checkpoint(path, state: TrainState) -> Tuple[TrainState, int]:
-    """Restore into the given abstract/concrete state; returns (state, epoch)."""
-    path = Path(path).resolve()
+    """Restore into the given abstract/concrete state; returns (state, epoch).
+    Accepts a local directory or a URL to an archived checkpoint."""
+    path = resolve_resume(str(path)).resolve()
     ckptr = ocp.StandardCheckpointer()
     restored = ckptr.restore(path / "state", target=state._asdict())
     meta = json.loads((path / "meta.json").read_text())

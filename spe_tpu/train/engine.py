@@ -49,11 +49,14 @@ def train_one_epoch(step_fn, state, loader, epoch: int, cfg: SPEConfig,
             batch = shard_batch(mesh, batch)
         state, metrics = step_fn(state, batch, jax.random.fold_in(rng, i), gates)
         if i % print_freq == 0:
-            # host sync only at print boundaries
+            # host sync only at print boundaries; bad_steps accumulates
+            # device-side so no non-finite step in the window is missed
+            # (reference aborts per step, engine.py:156-159 — here the
+            # offending updates were already skipped on device)
             loss = float(metrics["loss"])
-            if not np.isfinite(loss):
-                # fail-fast like the reference (engine.py:156-159)
-                print(f"Loss is {loss}, stopping training")
+            if not np.isfinite(loss) or int(metrics["bad_steps"]) > 0:
+                print(f"Loss is {loss} ({int(metrics['bad_steps'])} non-finite "
+                      f"steps so far), stopping training")
                 sys.exit(1)
             metric.update(loss=loss,
                           loss_ce=float(metrics.get("loss_ce", 0.0)),
@@ -84,11 +87,18 @@ def _eval_outputs(model, params, batch, *, refine_stage: int, use_aux_layer: boo
 
 def evaluate_coco(model, params, loader, gt_coco: Dict, cfg: SPEConfig,
                   refine_stage: int = 0, keep: int = 100,
-                  nms_iou: float = 0.5, use_aux_layer: bool = True) -> Dict[str, float]:
+                  nms_iou: float = 0.5, use_aux_layer: bool = True,
+                  eval_save_path=None) -> Dict[str, float]:
     """use_aux_layer=True evaluates the second-to-last decoder layer like the
     reference's evaluate_refinements (engine.py:642); False evaluates the
-    final layer (the reference's plain `evaluate`, engine.py:447)."""
+    final layer (the reference's plain `evaluate`, engine.py:447).
+
+    When the loader's batches carry padded GT arrays (gt_boxes/gt_labels/
+    gt_mask), eval-time criterion losses on the evaluated layer are logged
+    and returned alongside the AP stats, like the reference's eval-loop
+    loss logging (engine.py:644-660, losses=['labels','boxes','cardinality'])."""
     evaluator = CocoEvaluator(gt_coco)
+    metric = MetricLogger()
 
     @jax.jit
     def infer(params, images, pad_mask, orig_sizes):
@@ -101,15 +111,43 @@ def evaluate_coco(model, params, loader, gt_coco: Dict, cfg: SPEConfig,
                                 jnp.ones_like(res["scores"], bool), nms_iou)
         return res, keep_mask
 
+    @jax.jit
+    def eval_losses(params, images, pad_mask, gt_boxes, gt_labels, gt_mask):
+        from spe_tpu.train.criterion import _layer_losses, match
+
+        outs, _ = _eval_outputs(model, params,
+                                {"images": images, "pad_mask": pad_mask},
+                                refine_stage=refine_stage, use_aux_layer=use_aux_layer)
+        targets = {"boxes": gt_boxes, "labels": gt_labels, "mask": gt_mask}
+        row = match(outs["pred_logits"], outs["pred_boxes"], targets,
+                    method=cfg.assignment, cost_class=cfg.set_cost_class,
+                    cost_bbox=cfg.set_cost_bbox, cost_giou=cfg.set_cost_giou)
+        nb = jnp.maximum(gt_mask.astype(jnp.float32).sum(), 1.0)
+        return _layer_losses(outs["pred_logits"], outs["pred_boxes"], targets,
+                             row, nb, focal_alpha=cfg.focal_alpha,
+                             focal_gamma=cfg.focal_gamma, refine_weights=False)
+
     for batch in loader.epoch(0):
         res, keep_mask = infer(params, jnp.asarray(batch["images"]),
                                jnp.asarray(batch["pad_mask"]),
                                jnp.asarray(batch["orig_size"]))
+        if "gt_boxes" in batch:
+            ld = eval_losses(params, jnp.asarray(batch["images"]),
+                             jnp.asarray(batch["pad_mask"]),
+                             jnp.asarray(batch["gt_boxes"]),
+                             jnp.asarray(batch["gt_labels"]),
+                             jnp.asarray(batch["gt_mask"]))
+            metric.update(**{k: float(v) for k, v in ld.items()})
         evaluator.update_from_arrays(
             batch["image_id"], np.asarray(res["boxes"]), np.asarray(res["scores"]),
             np.asarray(res["labels"]), np.asarray(keep_mask))
     merge_across_processes(evaluator)
-    return evaluator.summarize()
+    metric.synchronize_between_processes()
+    stats = evaluator.summarize()
+    stats.update({f"eval_{k}": m.global_avg for k, m in metric.meters.items()})
+    if eval_save_path is not None and jax.process_index() == 0:
+        evaluator.save_eval(eval_save_path)
+    return stats
 
 
 def merge_across_processes(evaluator, max_dets: int = 200_000) -> None:
@@ -128,6 +166,10 @@ def merge_across_processes(evaluator, max_dets: int = 200_000) -> None:
         for d in ds:
             b = d["bbox"]
             rows.append([1.0, img, cat, b[0], b[1], b[2], b[3], d["score"]])
+    if len(rows) > max_dets:
+        print(f"merge_across_processes: truncating {len(rows)} local detections "
+              f"to the {max_dets} fixed-gather cap; AP may be affected",
+              flush=True)
     arr = np.zeros((max_dets, 8), np.float32)
     if rows:
         packed = np.asarray(rows[:max_dets], np.float32)
@@ -145,13 +187,20 @@ def merge_across_processes(evaluator, max_dets: int = 200_000) -> None:
             }])
 
 
-def _flip_merge(out_n, out_f):
-    """decouple_output (engine_loc.py:99-124): flip x back, concat queries."""
+def _flip_merge(out_n, out_f, bb_n=None, bb_f=None):
+    """decouple_output (engine_loc.py:99-124): flip x back, concat query sets;
+    image-level logits (x_logits / x_cls_logits) are elementwise-MAX merged
+    (engine_loc.py:111-112) when backbone outputs are provided."""
     boxes_f = out_f["pred_boxes"].at[..., 0].set(1.0 - out_f["pred_boxes"][..., 0])
-    return {
+    merged = {
         "pred_logits": jnp.concatenate([out_n["pred_logits"], out_f["pred_logits"]], axis=1),
         "pred_boxes": jnp.concatenate([out_n["pred_boxes"], boxes_f], axis=1),
     }
+    if bb_n is not None:
+        for k in ("x_logits", "x_cls_logits"):
+            if k in bb_n:
+                merged[k] = jnp.maximum(bb_n[k], bb_f[k])
+    return merged
 
 
 def evaluate_voc(model, params, loader, dataset, cfg: SPEConfig,
@@ -166,15 +215,15 @@ def evaluate_voc(model, params, loader, dataset, cfg: SPEConfig,
 
     @jax.jit
     def infer(params, images, pad_mask, sizes):
-        outs, _ = _eval_outputs(model, params,
-                                {"images": images, "pad_mask": pad_mask},
-                                refine_stage=refine_stage, use_aux_layer=False)
+        outs, full = _eval_outputs(model, params,
+                                   {"images": images, "pad_mask": pad_mask},
+                                   refine_stage=refine_stage, use_aux_layer=False)
         if with_flip:
-            outs_f, _ = _eval_outputs(
+            outs_f, full_f = _eval_outputs(
                 model, params,
                 {"images": images[:, :, ::-1, :], "pad_mask": pad_mask[:, :, ::-1]},
                 refine_stage=refine_stage, use_aux_layer=False)
-            outs = _flip_merge(outs, outs_f)
+            outs = _flip_merge(outs, outs_f, full["backbone"], full_f["backbone"])
         res = postprocess_topk(outs["pred_logits"], outs["pred_boxes"],
                                sizes.astype(jnp.float32), keep_queries=keep)
         keep_mask = batched_nms(res["boxes"], res["scores"], res["labels"],

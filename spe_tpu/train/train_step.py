@@ -35,6 +35,11 @@ class TrainState(NamedTuple):
     step: jnp.ndarray
     params: Any
     opt_state: Any
+    # count of steps whose loss/grads were non-finite (those updates are
+    # skipped). The reference aborts per step (engine.py:156-159); on TPU a
+    # per-step host sync would stall the pipeline, so the flag rides the
+    # donated state for free and the engine aborts at the next log boundary.
+    bad_steps: Any = 0
 
 
 class Gates(NamedTuple):
@@ -139,10 +144,20 @@ def make_train_step(model, cfg: SPEConfig, tx: optax.GradientTransformation,
                                   num_devices=num_devices, deterministic=False)
 
         (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        metrics = {"loss": total,
-                   "grad_norm": optax.global_norm(grads), **losses}
-        return TrainState(state.step + 1, params, opt_state), metrics
+        grad_norm = optax.global_norm(grads)
+        finite = jnp.isfinite(total) & jnp.isfinite(grad_norm)
+
+        def do_update(_):
+            updates, opt_state = tx.update(grads, state.opt_state, state.params)
+            return optax.apply_updates(state.params, updates), opt_state
+
+        def skip_update(_):
+            return state.params, state.opt_state
+
+        params, opt_state = jax.lax.cond(finite, do_update, skip_update, None)
+        bad_steps = jnp.asarray(state.bad_steps, jnp.int32) + (1 - finite.astype(jnp.int32))
+        metrics = {"loss": total, "grad_norm": grad_norm,
+                   "bad_steps": bad_steps, **losses}
+        return TrainState(state.step + 1, params, opt_state, bad_steps), metrics
 
     return train_step
