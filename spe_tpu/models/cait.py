@@ -13,8 +13,8 @@ std-reweighting across heads (cait.py:801-806,818-828).
 Differences from the reference (deliberate, TPU-first):
   * batch-first (B, N, D) everywhere; CAM output is (B, C, h, w) like the
     reference's final shape;
-  * per-forward pos-embed interpolation uses jax.image.resize bicubic —
-    same half-pixel convention as torch align_corners=False;
+  * per-forward pos-embed interpolation is two precomputed bicubic
+    matmuls matching torch align_corners=False exactly (layers.py);
   * patch embed is a reshaped matmul, not a conv (see layers.PatchEmbed).
 """
 
@@ -71,6 +71,7 @@ class LayerScaleBlockClassAttn(nn.Module):
     mlp_ratio: float = 4.0
     init_scale: float = 1e-4
     qkv_bias: bool = True
+    use_pallas: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -81,7 +82,8 @@ class LayerScaleBlockClassAttn(nn.Module):
         u = jnp.concatenate([cls_tokens, x], axis=1)
         u = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(u)
         h, attn = MultiClassAttention(self.num_heads, num_tokens=self.num_tokens,
-                                      qkv_bias=self.qkv_bias, dtype=self.dtype,
+                                      qkv_bias=self.qkv_bias,
+                                      use_pallas=self.use_pallas, dtype=self.dtype,
                                       name="attn")(u, deterministic=deterministic)
         cls_tokens = cls_tokens + gamma1.astype(h.dtype) * h
         h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(cls_tokens)
@@ -121,16 +123,25 @@ class CaiTConfig:
     drop_path_rate: float = 0.0
     qkv_bias: bool = True
     use_pallas: bool = False
+    # True = TSCAM_cait_two_branch (duplicate det block stack forked at
+    # layer_to_det, std-reweighted CAM, cait.py:674-831). False = the
+    # single-branch TSCAM_cait (det features = norm_to_det(x) captured at
+    # block index layer_to_det, CAM = head-MEAN of the first class-attention
+    # block, cait.py:531-670).
+    two_branch: bool = True
 
 
 class CaiTTwoBranch(nn.Module):
-    """TSCAM_cait_two_branch (reference cait.py:674-831).
+    """TSCAM_cait_two_branch (reference cait.py:674-831), or — when
+    cfg.two_branch=False — the single-branch TSCAM_cait (cait.py:531-670).
 
     __call__(images, mask) -> dict:
       x_logits:     (B, C)   per-class-token scalars (weak multilabel head)
       x_cls_logits: (B, C)   CLS-token multilabel head
-      cams_cls:     (B, C, h, w) std-reweighted class-attention maps
-      x_patch:      (B, h, w, D) detection-branch patch features (norm_det'd)
+      cams_cls:     (B, C, h, w) class-attention maps (std-reweighted heads
+                    for two-branch; head mean for single-branch)
+      x_patch:      (B, h, w, D) detection patch features (norm_det'd two-
+                    branch stack, or norm_to_det'd mid-stack capture)
     """
 
     cfg: CaiTConfig
@@ -163,8 +174,11 @@ class CaiTTwoBranch(nn.Module):
             jnp.broadcast_to(extra_cls_token, (B, cfg.num_classes, cfg.embed_dim)),
         ], axis=1).astype(x.dtype)
 
-        # patch stack; fork the det branch AFTER block layer_to_det-1
-        # (reference forks at `i + 1 == layer_to_det`, cait.py:776-777)
+        # patch stack. Two-branch: fork the det branch AFTER block
+        # layer_to_det-1 (reference forks at `i + 1 == layer_to_det`,
+        # cait.py:776-777) into a duplicate block stack. Single-branch:
+        # det features = norm_to_det(x) captured at block INDEX
+        # layer_to_det (`if i == self.layer_to_det`, cait.py:627-629).
         x_feat = None
         for i in range(cfg.depth):
             x = LayerScaleBlock(cfg.num_heads, cfg.mlp_ratio, drop=cfg.drop_rate,
@@ -173,17 +187,23 @@ class CaiTTwoBranch(nn.Module):
                                 use_pallas=cfg.use_pallas,
                                 dtype=self.dtype, name=f"blocks_{i}")(
                 x, deterministic=deterministic)
-            if i + 1 == cfg.layer_to_det:
+            if cfg.two_branch and i + 1 == cfg.layer_to_det:
+                x_feat = x
+            if not cfg.two_branch and i == min(cfg.layer_to_det, cfg.depth - 1):
                 x_feat = x
 
-        for i in range(cfg.depth - cfg.layer_to_det):
-            x_feat = LayerScaleBlock(cfg.num_heads, cfg.mlp_ratio, drop=cfg.drop_rate,
-                                     attn_drop=cfg.attn_drop_rate, drop_path=cfg.drop_path_rate,
-                                     init_scale=cfg.init_scale, qkv_bias=cfg.qkv_bias,
-                                     use_pallas=cfg.use_pallas,
-                                     dtype=self.dtype, name=f"blocks_det_{i}")(
-                x_feat, deterministic=deterministic)
-        x_feat = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm_det")(x_feat)
+        if cfg.two_branch:
+            for i in range(cfg.depth - cfg.layer_to_det):
+                x_feat = LayerScaleBlock(cfg.num_heads, cfg.mlp_ratio, drop=cfg.drop_rate,
+                                         attn_drop=cfg.attn_drop_rate, drop_path=cfg.drop_path_rate,
+                                         init_scale=cfg.init_scale, qkv_bias=cfg.qkv_bias,
+                                         use_pallas=cfg.use_pallas,
+                                         dtype=self.dtype, name=f"blocks_det_{i}")(
+                    x_feat, deterministic=deterministic)
+            x_feat = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm_det")(x_feat)
+        else:
+            x_feat = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+                                  name="norm_to_det")(x_feat)
 
         # class-attention token blocks; first block's attention map = CAM
         first_attn = None
@@ -191,7 +211,8 @@ class CaiTTwoBranch(nn.Module):
         for i in range(cfg.depth_token_only):
             cls_tokens, attn = LayerScaleBlockClassAttn(
                 cfg.num_heads, num_tokens=num_tokens, mlp_ratio=cfg.mlp_ratio,
-                init_scale=cfg.init_scale, qkv_bias=cfg.qkv_bias, dtype=self.dtype,
+                init_scale=cfg.init_scale, qkv_bias=cfg.qkv_bias,
+                use_pallas=cfg.use_pallas, dtype=self.dtype,
                 name=f"blocks_token_only_{i}")(x, cls_tokens, deterministic=deterministic)
             if i == 0:
                 first_attn = attn
@@ -206,9 +227,14 @@ class CaiTTwoBranch(nn.Module):
                                 name="cls_head_multi_cls")(tokens[:, 0])
 
         # CAM: first token block's attn (B, H, 1+C, 1+C+P) — class-token
-        # queries (1..C) attending to the patch keys (1+C..end), cait.py:827
+        # queries (1..C) attending to the patch keys (1+C..end). Two-branch
+        # reweights heads by their normalized std (cait.py:801-806,827);
+        # single-branch takes the plain head mean (cait.py:660-664).
         cam = first_attn[:, :, 1:1 + cfg.num_classes, num_tokens:]
-        cam = std_reweighting(cam)  # (B, C, P)
+        if cfg.two_branch:
+            cam = std_reweighting(cam)  # (B, C, P)
+        else:
+            cam = cam.astype(jnp.float32).mean(axis=1)
         cams_cls = cam.reshape(B, cfg.num_classes, gh, gw)
 
         return {
@@ -238,10 +264,11 @@ BACKBONE_REGISTRY = {
     "TSCAM_cait_S36_Two_Branch": lambda **kw: _cait(384, 384, 36, 8, init_scale=1e-6, **kw),
     "TSCAM_cait_M36_Two_Branch": lambda **kw: _cait(384, 768, 36, 16, init_scale=1e-6, **kw),
     "TSCAM_cait_M48_Two_Branch": lambda **kw: _cait(448, 768, 48, 16, init_scale=1e-6, **kw),
-    # aliases without the explicit Two_Branch suffix map to the same config
-    # (the single-branch TSCAM_cait variants share dims; two-branch is live)
-    "TSCAM_cait_XXS24": lambda **kw: _cait(384, 192, 24, 4, **kw),
-    "TSCAM_cait_XXS36": lambda **kw: _cait(384, 192, 36, 4, **kw),
+    # single-branch TSCAM_cait variants (reference cait.py:1443-1664: no
+    # duplicated det stack, det feats captured mid-stack, head-mean CAM)
+    "TSCAM_cait_XXS24": lambda **kw: _cait(384, 192, 24, 4, two_branch=False, **kw),
+    "TSCAM_cait_XXS36": lambda **kw: _cait(384, 192, 36, 4, two_branch=False, **kw),
+    "TSCAM_cait_XXS24_224": lambda **kw: _cait(224, 192, 24, 4, two_branch=False, **kw),
     # tiny config for smoke tests / CI (no reference analog)
     "TSCAM_cait_tiny": lambda **kw: _cait(64, 32, 4, 2, **kw),
 }

@@ -95,7 +95,8 @@ def _patch_embed(sd, prefix):
 
 def convert_backbone(sd: Dict[str, "np.ndarray"], depth: int, layer_to_det: int,
                      depth_token_only: int = 2,
-                     strip_module_prefix: bool = True) -> Dict:
+                     strip_module_prefix: bool = True,
+                     two_branch: bool = True) -> Dict:
     """Torch TSCAM_cait_two_branch (or plain CaiT) state dict -> CaiTTwoBranch
     params['params'] subtree."""
     if strip_module_prefix:
@@ -111,7 +112,7 @@ def convert_backbone(sd: Dict[str, "np.ndarray"], depth: int, layer_to_det: int,
     }
     for i in range(depth):
         params[f"blocks_{i}"] = _layerscale_block(sd, f"blocks.{i}")
-    n_det = depth - layer_to_det
+    n_det = (depth - layer_to_det) if two_branch else 0
     for i in range(n_det):
         src = (f"blocks_det.{i}" if f"blocks_det.{i}.norm1.weight" in sd
                # pretrained classification checkpoints have no det branch:
@@ -119,8 +120,13 @@ def convert_backbone(sd: Dict[str, "np.ndarray"], depth: int, layer_to_det: int,
                # cait.py:724-726: blocks_det[-j] <- blocks[-j])
                else f"blocks.{layer_to_det + i}")
         params[f"blocks_det_{i}"] = _layerscale_block(sd, src)
-    if "norm_det.weight" in sd:
+    if two_branch and "norm_det.weight" in sd:
         params["norm_det"] = _layernorm(sd, "norm_det")
+    if not two_branch and "norm_to_det.weight" in sd:
+        params["norm_to_det"] = _layernorm(sd, "norm_to_det")
+    if not two_branch and "norm_to_det.weight" not in sd and "norm.weight" in sd:
+        # pretrained classification checkpoints: seed norm_to_det from norm
+        params["norm_to_det"] = _layernorm(sd, "norm")
     for i in range(depth_token_only):
         if f"blocks_token_only.{i}.norm1.weight" in sd:
             params[f"blocks_token_only_{i}"] = _class_attn_block(
@@ -224,3 +230,46 @@ def load_torch_checkpoint(path) -> Dict[str, "np.ndarray"]:
     sd = ckpt.get("model", ckpt) if isinstance(ckpt, dict) else ckpt
     return {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v)
             for k, v in sd.items()}
+
+
+def merge_pretrained_backbone(init_backbone: Dict, converted: Dict,
+                              verbose: bool = True) -> Dict:
+    """Merge a converted (possibly classification-pretrained) backbone tree
+    into freshly initialized backbone params.
+
+    Semantics of the reference's timm `pretrained=True` + finetune_det
+    (cait.py:1676-1700, 728-742): copy every leaf whose path exists in both
+    trees; interpolate pos_embed bicubically when the grids differ; keep the
+    init for everything the checkpoint lacks (extra_cls_token, cls heads,
+    Multi_Class_Attention blocks of a plain CaiT checkpoint). Shape-mismatched
+    leaves other than pos_embed are skipped with a warning.
+    """
+    import flax
+
+    from spe_tpu.models.layers import interpolate_pos_embed
+
+    flat_init = flax.traverse_util.flatten_dict(init_backbone)
+    flat_new = flax.traverse_util.flatten_dict(converted)
+    merged, copied, skipped = {}, 0, []
+    for k, v in flat_init.items():
+        if k not in flat_new:
+            merged[k] = v
+            continue
+        cand = np.asarray(flat_new[k])
+        if cand.shape == v.shape:
+            merged[k] = cand.astype(np.asarray(v).dtype)
+            copied += 1
+        elif k == ("pos_embed",):
+            n_src = int(round(cand.shape[1] ** 0.5))
+            n_dst = int(round(v.shape[1] ** 0.5))
+            merged[k] = np.asarray(interpolate_pos_embed(
+                cand, (n_src, n_src), (n_dst, n_dst))).astype(
+                np.asarray(v).dtype).reshape(v.shape)
+            copied += 1
+        else:
+            merged[k] = v
+            skipped.append(("/".join(k), cand.shape, np.asarray(v).shape))
+    if verbose:
+        print(f"pretrained backbone: copied {copied}/{len(flat_init)} leaves"
+              + (f", skipped shape-mismatched {skipped}" if skipped else ""))
+    return flax.traverse_util.unflatten_dict(merged)
