@@ -83,18 +83,54 @@ class PatchEmbed(nn.Module):
         return x  # (B, gh*gw, D)
 
 
+def _cubic_resize_matrix(n_in: int, n_out: int, a: float = -0.75) -> "np.ndarray":
+    """1D torch-bicubic interpolation as an (n_out, n_in) matrix.
+
+    Torch F.interpolate(mode='bicubic', align_corners=False) semantics:
+    half-pixel-center coordinate mapping, cubic convolution kernel with
+    a=-0.75, border-replicated taps. (jax.image.resize 'cubic' uses the
+    Keys a=-0.5 kernel, which does NOT match torch — measured 1e-2-level
+    divergence on pos-embed grids.) Precomputing the map as a matrix makes
+    the 2D resize two small matmuls: MXU-friendly and exactly reproducible.
+    """
+    import numpy as np
+
+    def w(s):
+        s = abs(s)
+        if s <= 1:
+            return (a + 2) * s ** 3 - (a + 3) * s ** 2 + 1
+        if s < 2:
+            return a * s ** 3 - 5 * a * s ** 2 + 8 * a * s - 4 * a
+        return 0.0
+
+    m = np.zeros((n_out, n_in), np.float32)
+    scale = n_in / n_out
+    for i in range(n_out):
+        x = (i + 0.5) * scale - 0.5
+        x0 = int(np.floor(x))
+        for j in range(-1, 3):
+            col = min(max(x0 + j, 0), n_in - 1)
+            m[i, col] += w(x - (x0 + j))
+    return m
+
+
 def interpolate_pos_embed(pos_embed: jnp.ndarray, src_hw, dst_hw) -> jnp.ndarray:
     """Bicubic 2D re-interpolation of a (1, N, D) patch pos-embed grid.
 
     Equivalent of the reference's per-forward InterpolateInitPosEmbed
-    (cait.py:744-759, torch bicubic align_corners=False); jax.image.resize
-    'cubic' uses the same half-pixel-center convention.
+    (cait.py:744-759, torch bicubic align_corners=False), implemented as two
+    precomputed separable matmuls (see _cubic_resize_matrix) so the result
+    matches torch bit-for-bit up to f32 rounding and runs on the MXU instead
+    of gather lanes.
     """
     sh, sw = src_hw
     dh, dw = dst_hw
     if (sh, sw) == (dh, dw):
         return pos_embed
     d = pos_embed.shape[-1]
-    grid = pos_embed.reshape(1, sh, sw, d)
-    grid = jax.image.resize(grid, (1, dh, dw, d), method="cubic")
+    grid = pos_embed.reshape(sh, sw, d)
+    mh = jnp.asarray(_cubic_resize_matrix(sh, dh))
+    mw = jnp.asarray(_cubic_resize_matrix(sw, dw))
+    grid = jnp.einsum("oh,hwd->owd", mh.astype(grid.dtype), grid)
+    grid = jnp.einsum("ow,hwd->hod", mw.astype(grid.dtype), grid)
     return grid.reshape(1, dh * dw, d)
