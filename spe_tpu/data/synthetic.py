@@ -24,7 +24,7 @@ _PALETTE = np.array([
 class SyntheticDetection:
     def __init__(self, num_images: int = 64, num_classes: int = 5,
                  img_size: int = 128, max_objects: int = 3, seed: int = 0,
-                 transform=None):
+                 transform=None, min_frac: float = 1 / 6, max_frac: float = 1 / 2):
         assert num_classes <= len(_PALETTE)
         self.n = num_images
         self.num_classes = num_classes
@@ -32,6 +32,8 @@ class SyntheticDetection:
         self.max_objects = max_objects
         self.seed = seed
         self.transform = transform
+        self.min_frac = min_frac
+        self.max_frac = max_frac
         self._items = [self._make(i) for i in range(num_images)]
 
     def __len__(self):
@@ -44,8 +46,8 @@ class SyntheticDetection:
         n_obj = int(rng.integers(1, self.max_objects + 1))
         boxes, labels = [], []
         for _ in range(n_obj):
-            w = int(rng.integers(s // 6, s // 2))
-            h = int(rng.integers(s // 6, s // 2))
+            w = int(rng.integers(int(s * self.min_frac), int(s * self.max_frac)))
+            h = int(rng.integers(int(s * self.min_frac), int(s * self.max_frac)))
             x0 = int(rng.integers(0, s - w))
             y0 = int(rng.integers(0, s - h))
             c = int(rng.integers(0, self.num_classes))
