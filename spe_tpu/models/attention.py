@@ -130,11 +130,17 @@ class TalkingHeadsAttention(nn.Module):
         return out
 
 
+def _use_interpret() -> bool:
+    return jax.default_backend() not in ("tpu", "axon")
+
+
 class MultiClassAttention(nn.Module):
     """Class attention with `num_tokens` query tokens over the full sequence
     (reference Multi_Class_Attention, cait.py:91-139).
 
     Returns (out, attn): attn is (B, H, num_tokens, N) — the CAM source.
+    use_pallas routes through the fused kernel (ops/pallas_mha.py) which
+    emits the attention map as a second kernel output.
     """
 
     num_heads: int
@@ -142,6 +148,7 @@ class MultiClassAttention(nn.Module):
     attn_drop: float = 0.0
     proj_drop: float = 0.0
     qkv_bias: bool = True
+    use_pallas: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -154,10 +161,19 @@ class MultiClassAttention(nn.Module):
                      kernel_init=trunc_normal_init, name="k")(x)
         v = nn.Dense(D, use_bias=self.qkv_bias, dtype=self.dtype,
                      kernel_init=trunc_normal_init, name="v")(x)
-        q = _split_heads(q, self.num_heads) * (D // self.num_heads) ** -0.5
-        k = _split_heads(k, self.num_heads)
-        v = _split_heads(v, self.num_heads)
-        out, attn = scaled_dot_attention(q, k, v, already_scaled=True)
+        if self.use_pallas:
+            from spe_tpu.ops.pallas_mha import fused_mha
+
+            out, attn = fused_mha(_split_heads(q, self.num_heads),
+                                  _split_heads(k, self.num_heads),
+                                  _split_heads(v, self.num_heads),
+                                  interpret=_use_interpret(), return_attn=True)
+            out = out.astype(x.dtype)
+        else:
+            qh = _split_heads(q, self.num_heads) * (D // self.num_heads) ** -0.5
+            out, attn = scaled_dot_attention(qh, _split_heads(k, self.num_heads),
+                                             _split_heads(v, self.num_heads),
+                                             already_scaled=True)
         out = _merge_heads(out)
         out = nn.Dense(D, dtype=self.dtype, kernel_init=trunc_normal_init, name="proj")(out)
         out = nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
@@ -166,11 +182,21 @@ class MultiClassAttention(nn.Module):
 
 class MultiheadAttention(nn.Module):
     """Standard MHA with in/out projections (encoder self-attention;
-    reference uses nn.MultiheadAttention at transformer.py:258)."""
+    reference uses nn.MultiheadAttention at transformer.py:258).
+    use_pallas fuses logits/softmax/dropout/@V into one VMEM-resident kernel
+    (attention dropout then runs in-kernel via the TPU PRNG)."""
 
     num_heads: int
     dropout: float = 0.0
+    use_pallas: bool = False
     dtype: jnp.dtype = jnp.float32
+
+    def _kernel_seed(self, deterministic):
+        rate = 0.0 if deterministic else float(self.dropout)
+        if rate > 0.0:
+            key = self.make_rng("dropout")
+            return jax.random.randint(key, (1,), 0, 2**31 - 1).astype(jnp.float32), rate
+        return None, 0.0
 
     @nn.compact
     def __call__(self, query, key, value, *, key_padding_mask=None,
@@ -179,16 +205,28 @@ class MultiheadAttention(nn.Module):
         q = nn.Dense(D, dtype=self.dtype, name="q_proj")(query)
         k = nn.Dense(D, dtype=self.dtype, name="k_proj")(key)
         v = nn.Dense(D, dtype=self.dtype, name="v_proj")(value)
-        q = _split_heads(q, self.num_heads) / jnp.sqrt(D // self.num_heads).astype(q.dtype)
-        k = _split_heads(k, self.num_heads)
-        v = _split_heads(v, self.num_heads)
-        logits = jnp.einsum("bhqd,bhkd->bhqk", q, k)
-        if key_padding_mask is not None:
-            logits = jnp.where(key_padding_mask[:, None, None, :], _NEG, logits)
-        attn = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
-        # dropout on attention weights, like torch MultiheadAttention
-        attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
-        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+        if self.use_pallas:
+            from spe_tpu.ops.pallas_mha import fused_mha
+
+            seed, rate = self._kernel_seed(deterministic)
+            out = fused_mha(_split_heads(q, self.num_heads),
+                            _split_heads(k, self.num_heads),
+                            _split_heads(v, self.num_heads),
+                            key_padding_mask=key_padding_mask, seed=seed,
+                            dropout_rate=rate, interpret=_use_interpret())
+            out = out.astype(q.dtype)
+        else:
+            qh = _split_heads(q, self.num_heads) / jnp.sqrt(
+                D // self.num_heads).astype(q.dtype)
+            kh = _split_heads(k, self.num_heads)
+            vh = _split_heads(v, self.num_heads)
+            logits = jnp.einsum("bhqd,bhkd->bhqk", qh, kh)
+            if key_padding_mask is not None:
+                logits = jnp.where(key_padding_mask[:, None, None, :], _NEG, logits)
+            attn = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
+            # dropout on attention weights, like torch MultiheadAttention
+            attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
+            out = jnp.einsum("bhqk,bhkd->bhqd", attn, vh)
         out = _merge_heads(out)
         out = nn.Dense(D, dtype=self.dtype, name="out_proj")(out)
         return out
@@ -204,21 +242,38 @@ class ProjectionFreeAttention(nn.Module):
 
     num_heads: int
     dropout: float = 0.0
+    use_pallas: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, q, k, v, *, key_padding_mask=None, deterministic: bool = True):
         Dv = v.shape[-1]
         Dq = q.shape[-1]
-        qh = _split_heads(q, self.num_heads) / jnp.sqrt(Dq // self.num_heads).astype(q.dtype)
-        kh = _split_heads(k, self.num_heads)
-        vh = _split_heads(v, self.num_heads)
-        logits = jnp.einsum("bhqd,bhkd->bhqk", qh, kh)
-        if key_padding_mask is not None:
-            logits = jnp.where(key_padding_mask[:, None, None, :], _NEG, logits)
-        attn = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
-        attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
-        out = jnp.einsum("bhqk,bhkd->bhqd", attn, vh)
+        if self.use_pallas:
+            from spe_tpu.ops.pallas_mha import fused_mha
+
+            rate = 0.0 if deterministic else float(self.dropout)
+            seed = None
+            if rate > 0.0:
+                key = self.make_rng("dropout")
+                seed = jax.random.randint(key, (1,), 0, 2**31 - 1).astype(jnp.float32)
+            out = fused_mha(_split_heads(q, self.num_heads),
+                            _split_heads(k, self.num_heads),
+                            _split_heads(v, self.num_heads),
+                            key_padding_mask=key_padding_mask, seed=seed,
+                            dropout_rate=rate, interpret=_use_interpret())
+            out = out.astype(q.dtype)
+        else:
+            qh = _split_heads(q, self.num_heads) / jnp.sqrt(
+                Dq // self.num_heads).astype(q.dtype)
+            kh = _split_heads(k, self.num_heads)
+            vh = _split_heads(v, self.num_heads)
+            logits = jnp.einsum("bhqd,bhkd->bhqk", qh, kh)
+            if key_padding_mask is not None:
+                logits = jnp.where(key_padding_mask[:, None, None, :], _NEG, logits)
+            attn = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
+            attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
+            out = jnp.einsum("bhqk,bhkd->bhqd", attn, vh)
         out = _merge_heads(out)
         out = nn.Dense(Dv, dtype=self.dtype, name="out_proj")(out)
         return out

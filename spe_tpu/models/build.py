@@ -31,6 +31,8 @@ def build_model(cfg: SPEConfig) -> SPEDetector:
         dim_feedforward=cfg.dim_feedforward,
         nheads=cfg.nheads,
         dropout=cfg.dropout,
+        pre_norm=cfg.pre_norm,
+        use_pallas=cfg.use_pallas_attention,
         masks=cfg.masks,
         dtype=dtype,
     )

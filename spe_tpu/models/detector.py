@@ -33,6 +33,8 @@ class SPEDetector(nn.Module):
     dim_feedforward: int = 2048
     nheads: int = 8
     dropout: float = 0.1
+    pre_norm: bool = False  # pre-norm encoder (reference --pre_norm)
+    use_pallas: bool = False  # fused attention kernels in encoder/cross-attn
     masks: bool = False   # attach the segmentation head (reference DETRsegm)
     dtype: jnp.dtype = jnp.float32
 
@@ -68,7 +70,9 @@ class SPEDetector(nn.Module):
             d_model=d_model, num_heads=self.nheads, num_queries=self.num_queries,
             num_encoder_layers=self.enc_layers, num_decoder_layers=self.dec_layers,
             dim_feedforward=self.dim_feedforward, dropout=self.dropout,
-            num_refines=self.num_refines, dtype=self.dtype, name="transformer")(
+            num_refines=self.num_refines, normalize_before=self.pre_norm,
+            use_pallas=self.use_pallas,
+            dtype=self.dtype, name="transformer")(
             src, pos, key_padding_mask=key_padding, deterministic=deterministic)
 
         # per-stage heads; class bias initialized to the focal prior

@@ -48,38 +48,53 @@ class MLP(nn.Module):
 
 
 class TransformerEncoderLayer(nn.Module):
-    """Post-norm encoder layer with additive positional q/k
-    (reference transformer.py:253-310, normalize_before=False path)."""
+    """Encoder layer with additive positional q/k. Post-norm by default
+    (reference transformer.py:253-310, normalize_before=False); pre-norm
+    reproduces forward_pre (transformer.py:278-295) when normalize_before."""
 
     num_heads: int
     dim_feedforward: int
     dropout: float = 0.1
+    normalize_before: bool = False
+    use_pallas: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, src, pos, *, key_padding_mask=None, deterministic=True):
-        q = k = src + pos
-        h = MultiheadAttention(self.num_heads, dropout=self.dropout, dtype=self.dtype,
-                               name="self_attn")(q, k, src,
+        norm1 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")
+        norm2 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")
+        src2 = norm1(src) if self.normalize_before else src
+        q = k = src2 + pos
+        h = MultiheadAttention(self.num_heads, dropout=self.dropout,
+                               use_pallas=self.use_pallas, dtype=self.dtype,
+                               name="self_attn")(q, k, src2,
                                                  key_padding_mask=key_padding_mask,
                                                  deterministic=deterministic)
         src = src + nn.Dropout(self.dropout)(h, deterministic=deterministic)
-        src = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(src)
-        h = nn.Dense(self.dim_feedforward, dtype=self.dtype, name="linear1")(src)
+        if not self.normalize_before:
+            src = norm1(src)
+        src2 = norm2(src) if self.normalize_before else src
+        h = nn.Dense(self.dim_feedforward, dtype=self.dtype, name="linear1")(src2)
         h = nn.Dropout(self.dropout)(nn.relu(h), deterministic=deterministic)
         h = nn.Dense(src.shape[-1], dtype=self.dtype, name="linear2")(h)
         src = src + nn.Dropout(self.dropout)(h, deterministic=deterministic)
-        src = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(src)
+        if not self.normalize_before:
+            src = norm2(src)
         return src
 
 
 class ConditionalDecoderLayer(nn.Module):
     """Decoder layer: content/pos-projected self-attn + conditional
-    cross-attn at 2*d_model + FFN (reference transformer.py:313-427)."""
+    cross-attn at 2*d_model + FFN (reference transformer.py:313-427).
+
+    use_pallas fuses the CROSS-attention (300 queries x ~1024 keys at
+    2*d_model); the 300x300 self-attention stays on the einsum path —
+    it is too small for a kernel round trip to pay off."""
 
     num_heads: int
     dim_feedforward: int
     dropout: float = 0.1
+    use_pallas: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -120,7 +135,8 @@ class ConditionalDecoderLayer(nn.Module):
         kk = jnp.concatenate([
             k_content.reshape(B, hw, nh, D // nh), k_pos.reshape(B, hw, nh, D // nh)
         ], axis=3).reshape(B, hw, 2 * D)
-        h = ProjectionFreeAttention(nh, dropout=self.dropout, dtype=self.dtype,
+        h = ProjectionFreeAttention(nh, dropout=self.dropout,
+                                    use_pallas=self.use_pallas, dtype=self.dtype,
                                     name="cross_attn")(qq, kk, v,
                                                        key_padding_mask=key_padding_mask,
                                                        deterministic=deterministic)
@@ -145,6 +161,7 @@ class ConditionalDecoder(nn.Module):
     dim_feedforward: int
     d_model: int
     dropout: float = 0.1
+    use_pallas: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -169,6 +186,7 @@ class ConditionalDecoder(nn.Module):
             sine = sine.astype(output.dtype) * pos_transformation
             output = ConditionalDecoderLayer(
                 self.num_heads, self.dim_feedforward, dropout=self.dropout,
+                use_pallas=self.use_pallas,
                 dtype=self.dtype, name=f"layers_{layer_id}")(
                 output, memory, pos, query_pos, sine,
                 is_first=(layer_id == 0), key_padding_mask=key_padding_mask,
@@ -191,6 +209,8 @@ class ConditionalTransformer(nn.Module):
     dim_feedforward: int = 2048
     dropout: float = 0.1
     num_refines: int = 1
+    normalize_before: bool = False  # --pre_norm (reference main.py:83)
+    use_pallas: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -205,13 +225,21 @@ class ConditionalTransformer(nn.Module):
         for i in range(self.num_encoder_layers):
             memory = TransformerEncoderLayer(
                 self.num_heads, self.dim_feedforward, dropout=self.dropout,
+                normalize_before=self.normalize_before,
+                use_pallas=self.use_pallas,
                 dtype=self.dtype, name=f"encoder_layers_{i}")(
                 memory, pos_embed, key_padding_mask=key_padding_mask,
                 deterministic=deterministic)
+        if self.normalize_before:
+            # pre-norm encoders carry a final norm (reference
+            # transformer.py:482: encoder_norm when normalize_before)
+            memory = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                                  name="encoder_norm")(memory)
 
         decoder = ConditionalDecoder(
             self.num_decoder_layers, self.num_heads, self.dim_feedforward,
-            self.d_model, dropout=self.dropout, dtype=self.dtype, name="decoder")
+            self.d_model, dropout=self.dropout, use_pallas=self.use_pallas,
+            dtype=self.dtype, name="decoder")
 
         query_embeds = [self.param("query_embed", nn.initializers.normal(1.0),
                                    (self.num_queries, self.d_model), jnp.float32)]
