@@ -20,16 +20,25 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 # (path-suffix, param-name) -> partition spec builder for 2D kernels.
 # Column-parallel (shard output features) for up-projections, row-parallel
-# (shard input features) for down-projections, like Megatron.
+# (shard input features) for down-projections, like Megatron. The decoder's
+# conditional-attention projections (reference transformer.py:313-427) are
+# all up-projections into the per-head q/k/v space -> column-parallel; their
+# out_proj closes the attention block -> row-parallel.
 _COL_PARALLEL = {"fc1", "linear1", "qkv", "q", "k", "v", "q_proj", "k_proj",
-                 "v_proj", "q_linear", "k_linear"}
+                 "v_proj", "q_linear", "k_linear",
+                 # decoder self-attention projections
+                 "sa_qcontent_proj", "sa_qpos_proj", "sa_kcontent_proj",
+                 "sa_kpos_proj", "sa_v_proj",
+                 # conditional cross-attention projections (2*d_model q/k)
+                 "ca_qcontent_proj", "ca_kcontent_proj", "ca_kpos_proj",
+                 "ca_v_proj", "ca_qpos_proj", "ca_qpos_sine_proj"}
 _ROW_PARALLEL = {"fc2", "linear2", "proj", "out_proj"}
 
 
 def _spec_for(path, leaf) -> P:
     names = [str(getattr(p, "key", p)) for p in path]
-    if leaf.ndim != 2 or "kernel" not in names[-1:]:
-        return P()
+    if getattr(leaf, "ndim", 0) != 2 or "kernel" not in names[-1:]:
+        return P()  # scalars / python ints (e.g. TrainState.bad_steps) replicate
     parent = names[-2] if len(names) >= 2 else ""
     if parent in _COL_PARALLEL:
         return P(None, "model")

