@@ -6,10 +6,25 @@ Prints one JSON line:
   {"metric": "train_images_per_sec_per_chip", "value": N, "unit": "img/s",
    "vs_baseline": N / REF_ESTIMATE}
 
-The reference publishes no throughput numbers (BASELINE.md). REF_ESTIMATE
-is the PyTorch reference's per-GPU rate implied by its recipe: batch 1/GPU
-with per-image CPU Hungarian + cv2 CAM extraction in the loop; we estimate
-8 img/s/GPU. BASELINE.json's north star is >=3x that on v5e.
+The reference publishes no throughput numbers (BASELINE.md), so the
+baseline is an ESTIMATE with stated bounds rather than an assertion:
+
+  * FLOPs ceiling: the recipe model is ~400 GFLOP fwd+bwd per 512x512
+    image (36+12 CaiT blocks @ N=1024/D=192, 3 enc + 12 dec layers). The
+    reference trains fp32 (no amp anywhere in main.py) on V100-class GPUs
+    (~16 fp32 TFLOP/s): even at 100% MFU that is ~25 img/s/GPU.
+  * Serial host work per image (measured on this box): 12 scipy Hungarian
+    solves of (300 x ~125) ~ 8.2ms (matcher re-run per decoder layer per
+    stage, conditional_detr.py:447-449) + cv2 CAM->boxes ~ 1ms
+    (engine.py:383, per positive class) ~ 10ms/img that overlaps nothing
+    (it sits between forward and loss on the same thread).
+  * batch_size=1 per GPU (scripts/run_voc0712.py) leaves the step
+    latency-bound: python loop + launch overhead at fp32 MFU 30-50%.
+
+Central estimate 8 img/s/GPU, plausible range [4, 16] (the 2x band). The
+>=3x north star (BASELINE.json) holds at >=24 img/s against the central
+estimate and the reported JSON carries the range so the claim stays
+bounded: vs_baseline uses 8, vs_baseline_range divides by [16, 4].
 """
 
 from __future__ import annotations
@@ -18,6 +33,7 @@ import json
 import time
 
 REF_ESTIMATE_IMG_PER_SEC = 8.0
+REF_RANGE_IMG_PER_SEC = (4.0, 16.0)
 BATCH = 8
 IMG = 512
 WARM_STEPS = 2
@@ -79,11 +95,15 @@ def main():
 
     assert jnp.isfinite(loss), f"non-finite loss {loss}"
     imgs_per_sec_per_chip = BATCH / dt / n_dev
+    lo, hi = REF_RANGE_IMG_PER_SEC
     print(json.dumps({
         "metric": "train_images_per_sec_per_chip",
         "value": round(imgs_per_sec_per_chip, 3),
         "unit": "img/s",
         "vs_baseline": round(imgs_per_sec_per_chip / REF_ESTIMATE_IMG_PER_SEC, 3),
+        # bounds of the baseline estimate (see module docstring)
+        "vs_baseline_range": [round(imgs_per_sec_per_chip / hi, 3),
+                              round(imgs_per_sec_per_chip / lo, 3)],
     }))
 
 
