@@ -59,12 +59,14 @@ def main(argv=None):
                               process_index=jax.process_index(),
                               process_count=jax.process_count(),
                               use_native=cfg.use_native_loader,
-                              num_threads=cfg.num_workers)
+                              num_threads=cfg.num_workers,
+                              bucket_quantum=0 if cfg.fixed_size else cfg.bucket_quantum)
     loader_val = DataLoader(ds_val, cfg.batch_size, cfg.num_classes,
                             fixed_size=fixed, shuffle=False, drop_last=False,
                             use_native=cfg.use_native_loader, train=False,
                             num_threads=cfg.num_workers,
-                            max_gt=cfg.max_gt_boxes)
+                            max_gt=cfg.max_gt_boxes,
+                            bucket_quantum=0 if cfg.fixed_size else cfg.bucket_quantum)
     if loader_train.use_native:
         print("data: native C++ decode path enabled")
 

@@ -128,6 +128,9 @@ class SPEConfig:
     assignment: str = "auction"
     # C++ data path (libjpeg decode + resize + normalize off the GIL)
     use_native_loader: bool = True
+    # multi-scale recipe: pad (H, W) up to multiples of this so distinct
+    # compiled shapes stay bounded (SURVEY §5.7); 0 = per-batch max
+    bucket_quantum: int = 128
 
     # runtime-derived (mutated like the reference mutates args)
     num_classes: int = 20             # dataset classes (20 VOC / 90 COCO)

@@ -20,12 +20,21 @@ import numpy as np
 
 
 def collate(samples: Sequence, num_classes: int, fixed_size: Optional[int] = None,
-            size_divisor: int = 16, max_gt: int = 0) -> Dict[str, np.ndarray]:
+            size_divisor: int = 16, max_gt: int = 0,
+            bucket_quantum: int = 0) -> Dict[str, np.ndarray]:
     """samples: list of (image (H,W,3) float32, target dict).
 
     max_gt > 0 additionally emits padded GT arrays (gt_boxes normalized
     cxcywh in the resized image frame, gt_labels det-class columns = label+1,
-    gt_mask) for eval-time criterion losses (reference engine.py:644-660)."""
+    gt_mask) for eval-time criterion losses (reference engine.py:644-660).
+
+    bucket_quantum > 0 rounds the padded (H, W) UP to multiples of the
+    quantum instead of the per-batch max: under jit every distinct batch
+    shape is a fresh compilation, so the multi-scale recipe would otherwise
+    recompile per unique image size (SURVEY §5.7 shape-bucketed padding).
+    The number of compiled shapes is bounded by (max_size/quantum)^2 and in
+    practice by the transform's scale ladder; per-bucket pos-embed
+    interpolation constants are baked per compiled shape at trace time."""
     imgs = [s[0] for s in samples]
     targets = [s[1] for s in samples]
     if fixed_size is not None:
@@ -33,8 +42,9 @@ def collate(samples: Sequence, num_classes: int, fixed_size: Optional[int] = Non
     else:
         H = max(i.shape[0] for i in imgs)
         W = max(i.shape[1] for i in imgs)
-        H = -(-H // size_divisor) * size_divisor
-        W = -(-W // size_divisor) * size_divisor
+        q = bucket_quantum if bucket_quantum > 0 else size_divisor
+        H = -(-H // q) * q
+        W = -(-W // q) * q
     B = len(imgs)
     images = np.zeros((B, H, W, 3), np.float32)
     pad_mask = np.ones((B, H, W), bool)
@@ -82,12 +92,13 @@ class DataLoader:
                  process_index: int = 0, process_count: int = 1,
                  prefetch: int = 2, num_threads: int = 2,
                  use_native: bool = False, train: bool = True,
-                 max_gt: int = 0):
+                 max_gt: int = 0, bucket_quantum: int = 0):
         self.ds = dataset
         self.batch_size = batch_size
         self.num_classes = num_classes
         self.fixed_size = fixed_size
         self.max_gt = max_gt
+        self.bucket_quantum = bucket_quantum
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.seed = seed
@@ -162,7 +173,8 @@ class DataLoader:
                     return b
             samples = [self.ds[i] for i in bidx]
             return collate(samples, self.num_classes, self.fixed_size,
-                           max_gt=self.max_gt)
+                           max_gt=self.max_gt,
+                           bucket_quantum=self.bucket_quantum)
 
         def worker():
             try:
