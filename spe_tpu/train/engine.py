@@ -150,17 +150,9 @@ def evaluate_coco(model, params, loader, gt_coco: Dict, cfg: SPEConfig,
     return stats
 
 
-def merge_across_processes(evaluator, max_dets: int = 200_000) -> None:
-    """Cross-host eval merge: fixed-shape array gather instead of the
-    reference's pickle-based all_gather (coco_eval.py:178-207). Each host
-    packs its detections into one padded float array
-    [valid, image_id, category_id, x, y, w, h, score]; process_allgather
-    moves them over ICI/DCN; every host rebuilds the full detection set.
-    No-op with a single process."""
-    if jax.process_count() == 1:
-        return
-    from jax.experimental import multihost_utils
-
+def pack_detections(evaluator, max_dets: int = 200_000) -> np.ndarray:
+    """One host's detections as a fixed-shape float plane
+    [valid, image_id, category_id, x, y, w, h, score] (max_dets, 8)."""
     rows = []
     for (img, cat), ds in evaluator._dt.items():
         for d in ds:
@@ -174,7 +166,12 @@ def merge_across_processes(evaluator, max_dets: int = 200_000) -> None:
     if rows:
         packed = np.asarray(rows[:max_dets], np.float32)
         arr[: len(packed)] = packed
-    gathered = multihost_utils.process_allgather(arr)  # (P, max_dets, 8)
+    return arr
+
+
+def unpack_detections(evaluator, gathered: np.ndarray) -> None:
+    """Replace the evaluator's detections with the union of all processes'
+    packed planes (P, max_dets, 8)."""
     for k in evaluator._dt:
         evaluator._dt[k] = []
     for p in range(gathered.shape[0]):
@@ -185,6 +182,22 @@ def merge_across_processes(evaluator, max_dets: int = 200_000) -> None:
                 "bbox": [float(row[3]), float(row[4]), float(row[5]), float(row[6])],
                 "score": float(row[7]),
             }])
+
+
+def merge_across_processes(evaluator, max_dets: int = 200_000) -> None:
+    """Cross-host eval merge: fixed-shape array gather instead of the
+    reference's pickle-based all_gather (coco_eval.py:178-207). Each host
+    packs its detections into one padded float plane; process_allgather
+    moves them over ICI/DCN; every host rebuilds the full detection set.
+    No-op with a single process. (pack/unpack are separate so the >1-process
+    merge logic is unit-testable without a multi-host run.)"""
+    if jax.process_count() == 1:
+        return
+    from jax.experimental import multihost_utils
+
+    arr = pack_detections(evaluator, max_dets)
+    gathered = multihost_utils.process_allgather(arr)  # (P, max_dets, 8)
+    unpack_detections(evaluator, np.asarray(gathered))
 
 
 def _flip_merge(out_n, out_f, bb_n=None, bb_f=None):
