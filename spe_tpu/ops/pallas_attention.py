@@ -145,6 +145,9 @@ def talking_heads_attention(q, k, v, wl, bl, ww, bw, seed=None, *,
         out_specs=pl.BlockSpec((1, H, q_tile, dh), lambda b, i: (b, 0, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, H, N, dh), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=100 * 1024 * 1024),
         # bool -> TPU-semantics interpreter (emulates pltpu primitives on CPU)
         interpret=pltpu.InterpretParams() if interpret else False,
     )(q, k, v, wl, bl2, ww, bw2, seed)

@@ -45,11 +45,13 @@ _NEG = -1e9
 def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, seed_ref, o_ref, attn_ref=None,
                 *, dropout_rate: float = 0.0):
     # q_ref: (1, H, Tq, dqh); k_ref: (1, H, Nk, dqh); v_ref: (1, H, Nk, dvh)
-    # bias_ref: (1, Nk) additive logit bias (0 / -1e9 padding mask)
+    # bias_ref: (1, 1, Nk) additive logit bias (0 / -1e9 padding mask); the
+    # singleton sublane dim keeps the block legal on real TPUs (sublane must
+    # be a multiple of 8 or equal the full array dim)
     H = q_ref.shape[1]
     dqh = q_ref.shape[3]
     scale = dqh ** -0.5
-    bias = bias_ref[0].astype(jnp.float32)  # (Nk,)
+    bias = bias_ref[0, 0].astype(jnp.float32)  # (Nk,)
 
     if dropout_rate > 0.0:
         b = pl.program_id(0)
@@ -81,52 +83,54 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, seed_ref, o_ref, attn_ref=None,
 def _bwd_kernel(q_ref, k_ref, v_ref, bias_ref, seed_ref, dy_ref,
                 dq_ref, dk_ref, dv_ref, *, q_tile: int,
                 dropout_rate: float = 0.0):
+    # grid (batch, q_tile): dK/dV accumulate across the inner (sequential)
+    # tile axis via block revisiting, so VMEM stays independent of batch
+    # size and query length
     H = q_ref.shape[1]
-    Nq = q_ref.shape[2]
     dqh = q_ref.shape[3]
     scale = dqh ** -0.5
-    n_tiles = Nq // q_tile
-    bias = bias_ref[0].astype(jnp.float32)
+    t = pl.program_id(1)
+    bias = bias_ref[0, 0].astype(jnp.float32)
 
-    dk_ref[...] = jnp.zeros_like(dk_ref)
-    dv_ref[...] = jnp.zeros_like(dv_ref)
+    @pl.when(t == 0)
+    def _init():
+        dk_ref[...] = jnp.zeros_like(dk_ref)
+        dv_ref[...] = jnp.zeros_like(dv_ref)
 
     def dot(a, b, ta=False, tb=False):
         dims = (((0,) if ta else (1,), (1,) if tb else (0,)), ((), ()))
         return jax.lax.dot_general(a, b, dimension_numbers=dims,
                                    preferred_element_type=jnp.float32)
 
-    for t in range(n_tiles):
-        sl = pl.ds(t * q_tile, q_tile)
+    if dropout_rate > 0.0:
+        b_id = pl.program_id(0)
+        pltpu.prng_seed(seed_ref[0].astype(jnp.int32) + b_id * 65536 + t)
+        keeps, kp = _dropout_masks((q_tile, k_ref.shape[2]), H, dropout_rate)
+    for h in range(H):
+        q = q_ref[0, h].astype(jnp.float32)
+        k = k_ref[0, h].astype(jnp.float32)
+        v = v_ref[0, h].astype(jnp.float32)
+        dy = dy_ref[0, h].astype(jnp.float32)
+
+        logits = dot(q * scale, k, tb=True) + bias[None, :]
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        e = jnp.exp(logits - m)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)     # (Tq, Nk)
+
         if dropout_rate > 0.0:
-            b_id = pl.program_id(0)
-            pltpu.prng_seed(seed_ref[0].astype(jnp.int32) + b_id * 65536 + t)
-            keeps, kp = _dropout_masks((q_tile, k_ref.shape[2]), H, dropout_rate)
-        for h in range(H):
-            q = q_ref[0, h, sl, :].astype(jnp.float32)
-            k = k_ref[0, h].astype(jnp.float32)
-            v = v_ref[0, h].astype(jnp.float32)
-            dy = dy_ref[0, h, sl, :].astype(jnp.float32)
+            z = jnp.where(keeps[h], p / kp, 0.0)
+        else:
+            z = p
+        dv_ref[0, h] += dot(z, dy, ta=True).astype(dv_ref.dtype)
 
-            logits = dot(q * scale, k, tb=True) + bias[None, :]
-            m = jnp.max(logits, axis=-1, keepdims=True)
-            e = jnp.exp(logits - m)
-            p = e / jnp.sum(e, axis=-1, keepdims=True)     # (Tq, Nk)
-
-            if dropout_rate > 0.0:
-                z = jnp.where(keeps[h], p / kp, 0.0)
-            else:
-                z = p
-            dv_ref[0, h] += dot(z, dy, ta=True).astype(dv_ref.dtype)
-
-            dz = dot(dy, v, tb=True)                        # (Tq, Nk)
-            if dropout_rate > 0.0:
-                dp = jnp.where(keeps[h], dz / kp, 0.0)
-            else:
-                dp = dz
-            dl = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-            dq_ref[0, h, sl, :] = (dot(dl, k) * scale).astype(dq_ref.dtype)
-            dk_ref[0, h] += (dot(dl, q, ta=True) * scale).astype(dk_ref.dtype)
+        dz = dot(dy, v, tb=True)                        # (Tq, Nk)
+        if dropout_rate > 0.0:
+            dp = jnp.where(keeps[h], dz / kp, 0.0)
+        else:
+            dp = dz
+        dl = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        dq_ref[0, h] = (dot(dl, k) * scale).astype(dq_ref.dtype)
+        dk_ref[0, h] += (dot(dl, q, ta=True) * scale).astype(dk_ref.dtype)
 
 
 def _pad_to(x, axis, mult):
@@ -164,11 +168,15 @@ def _fwd_call(q, k, v, bias, seed, *, q_tile: int, interpret: bool,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, H, Nk, dvh), lambda b, i: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Nk), lambda b, i: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Nk), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=tuple(out_specs) if return_attn else out_specs[0],
         out_shape=tuple(outs) if return_attn else outs[0],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=pltpu.InterpretParams() if interpret else False,
     )(q, k, v, bias, seed)
     return res if return_attn else (res,)
@@ -181,25 +189,26 @@ def _bwd_call(q, k, v, bias, seed, dy, *, q_tile: int, interpret: bool,
     Nk, dvh = k.shape[2], v.shape[3]
     return pl.pallas_call(
         functools.partial(_bwd_kernel, q_tile=q_tile, dropout_rate=dropout_rate),
-        grid=(B,),
+        grid=(B, Nq // q_tile),
         in_specs=[
-            pl.BlockSpec((1, H, Nq, dqh), lambda b: (b, 0, 0, 0),
+            pl.BlockSpec((1, H, q_tile, dqh), lambda b, t: (b, 0, t, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, H, Nk, dqh), lambda b: (b, 0, 0, 0),
+            pl.BlockSpec((1, H, Nk, dqh), lambda b, t: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, H, Nk, dvh), lambda b: (b, 0, 0, 0),
+            pl.BlockSpec((1, H, Nk, dvh), lambda b, t: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Nk), lambda b: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Nk), lambda b, t: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, H, Nq, dvh), lambda b: (b, 0, 0, 0),
+            pl.BlockSpec((1, H, q_tile, dvh), lambda b, t: (b, 0, t, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, H, Nq, dqh), lambda b: (b, 0, 0, 0),
+            pl.BlockSpec((1, H, q_tile, dqh), lambda b, t: (b, 0, t, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, H, Nk, dqh), lambda b: (b, 0, 0, 0),
+            pl.BlockSpec((1, H, Nk, dqh), lambda b, t: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, H, Nk, dvh), lambda b: (b, 0, 0, 0),
+            pl.BlockSpec((1, H, Nk, dvh), lambda b, t: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
@@ -207,6 +216,9 @@ def _bwd_call(q, k, v, bias, seed, dy, *, q_tile: int, interpret: bool,
             jax.ShapeDtypeStruct((B, H, Nk, dqh), jnp.float32),
             jax.ShapeDtypeStruct((B, H, Nk, dvh), jnp.float32),
         ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=pltpu.InterpretParams() if interpret else False,
     )(q, k, v, bias, seed, dy)
 
@@ -261,6 +273,7 @@ def fused_mha(q, k, v, *, key_padding_mask=None, seed=None,
     else:
         bias = jnp.where(key_padding_mask, _NEG, 0.0).astype(jnp.float32)
     bias = jnp.pad(bias, ((0, 0), (0, Nk_p - Nk)), constant_values=_NEG)
+    bias = bias[:, None, :]  # (B, 1, Nk_p): legal TPU block shape
 
     Nq_p = qp.shape[2]
     tile = min(q_tile, Nq_p)
