@@ -30,11 +30,12 @@ bounded: vs_baseline uses 8, vs_baseline_range divides by [16, 4].
 from __future__ import annotations
 
 import json
+import os
 import time
 
 REF_ESTIMATE_IMG_PER_SEC = 8.0
 REF_RANGE_IMG_PER_SEC = (4.0, 16.0)
-BATCH = 8
+BATCH = int(os.environ.get("SPE_BENCH_BATCH", "8"))
 IMG = 512
 WARM_STEPS = 2
 MEASURE_STEPS = 8

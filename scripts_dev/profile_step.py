@@ -1,0 +1,133 @@
+"""Profile the recipe train step on the real TPU and attribute device time.
+
+Runs a few fused train steps under jax.profiler.trace, parses the xplane
+protobuf (xprof schema), and prints the top device ops grouped into
+categories (attention kernels, matmul fusions, CAM/assignment, optimizer).
+
+Usage: PYTHONPATH=.:$PYTHONPATH python scripts_dev/profile_step.py [--einsum]
+"""
+
+from __future__ import annotations
+
+import collections
+import glob
+import os
+import sys
+
+from spe_tpu.utils.jax_setup import setup
+
+setup()
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+TRACE_DIR = "/tmp/spe_trace"
+BATCH = 8
+IMG = 512
+
+
+def build_step(use_pallas: bool):
+    from spe_tpu.config import voc0712_preset
+    from spe_tpu.models.build import build_model
+    from spe_tpu.parallel.mesh import make_mesh, replicated, shard_batch
+    from spe_tpu.train.optim import make_optimizer
+    from spe_tpu.train.train_step import Gates, TrainState, make_train_step
+
+    cfg = voc0712_preset(batch_size=BATCH, use_pallas_attention=use_pallas)
+    model = build_model(cfg)
+    mesh = make_mesh()
+    rng = np.random.default_rng(0)
+    img_label = (rng.uniform(size=(BATCH, cfg.num_classes)) > 0.85).astype(np.float32)
+    img_label[:, 0] = 1.0
+    batch = {
+        "images": jnp.array(rng.normal(size=(BATCH, IMG, IMG, 3)).astype(np.float32)),
+        "img_label": jnp.array(img_label),
+    }
+    params = jax.jit(lambda: model.init(jax.random.PRNGKey(0), batch["images"][:1]))()
+    tx = make_optimizer(cfg, steps_per_epoch=1000, params=params)
+    state = TrainState(jnp.int32(0), params, tx.init(params))
+    rep = replicated(mesh)
+    state = jax.device_put(state, rep)
+    batch = shard_batch(mesh, batch)
+    step = jax.jit(make_train_step(model, cfg, tx, num_devices=1),
+                   out_shardings=(rep, rep), donate_argnums=(0,))
+    gates = Gates.for_epoch(cfg, epoch=20)
+    return step, state, batch, gates
+
+
+CATEGORIES = (
+    ("attention kernel (pallas)", ("_bwd_kernel", "_fwd_kernel", "_kernel",
+                                   "tpu_custom_call", "pallas")),
+    ("matmul/fusion", ("fusion", "dot", "convolution")),
+    ("copy/transpose", ("copy", "transpose", "bitcast")),
+    ("collectives", ("all-reduce", "all-gather", "reduce-scatter",
+                     "collective")),
+    ("sort/topk (cam/nms/auction)", ("sort", "top-k", "while")),
+)
+
+
+def categorize(name: str) -> str:
+    low = name.lower()
+    for cat, keys in CATEGORIES:
+        if any(k in low for k in keys):
+            return cat
+    return "other"
+
+
+def parse_xplane(path: str):
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+
+    xs = xplane_pb2.XSpace()
+    with open(path, "rb") as f:
+        xs.ParseFromString(f.read())
+    per_op = collections.Counter()
+    per_cat = collections.Counter()
+    total = 0
+    for plane in xs.planes:
+        if "TPU" not in plane.name and "device" not in plane.name.lower():
+            continue
+        ev_names = {k: v.name for k, v in plane.event_metadata.items()}
+        for line in plane.lines:
+            lname = line.name.lower()
+            if "step" in lname and "xla" not in lname:
+                continue  # steps line double-counts op time
+            for ev in line.events:
+                name = ev_names.get(ev.metadata_id, str(ev.metadata_id))
+                dur = ev.duration_ps / 1e9  # ms
+                per_op[name] += dur
+                per_cat[categorize(name)] += dur
+                total += dur
+    return per_op, per_cat, total
+
+
+def main():
+    use_pallas = "--einsum" not in sys.argv
+    step, state, batch, gates = build_step(use_pallas)
+    key = jax.random.PRNGKey(0)
+    # warm/compile
+    state, metrics = step(state, batch, jax.random.fold_in(key, 0), gates)
+    _ = float(metrics["loss"])
+    os.makedirs(TRACE_DIR, exist_ok=True)
+    with jax.profiler.trace(TRACE_DIR):
+        for i in range(1, 4):
+            state, metrics = step(state, batch, jax.random.fold_in(key, i), gates)
+        _ = float(metrics["loss"])
+
+    files = sorted(glob.glob(f"{TRACE_DIR}/**/*.xplane.pb", recursive=True),
+                   key=os.path.getmtime)
+    if not files:
+        print("NO XPLANE FILES — device tracing may not pass the tunnel")
+        return
+    per_op, per_cat, total = parse_xplane(files[-1])
+    print(f"\n== device time attribution ({'fused' if use_pallas else 'einsum'}; "
+          f"3 steps, total {total:.1f} ms) ==")
+    for cat, ms in per_cat.most_common():
+        print(f"{ms:9.2f} ms {100*ms/max(total,1e-9):5.1f}%  {cat}")
+    print("\n== top 25 ops ==")
+    for name, ms in per_op.most_common(25):
+        print(f"{ms:9.2f} ms  {name[:110]}")
+
+
+if __name__ == "__main__":
+    main()

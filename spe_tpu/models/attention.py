@@ -184,11 +184,18 @@ class MultiheadAttention(nn.Module):
     """Standard MHA with in/out projections (encoder self-attention;
     reference uses nn.MultiheadAttention at transformer.py:258).
     use_pallas fuses logits/softmax/dropout/@V into one VMEM-resident kernel
-    (attention dropout then runs in-kernel via the TPU PRNG)."""
+    (attention dropout then runs in-kernel via the TPU PRNG).
+
+    kv_shard_axis: name of a mesh axis the keys/values are sharded over
+    (sequence parallelism for >2k-token configs, SURVEY §5.7). Only valid
+    under shard_map; routes through ops/seq_parallel.kv_sharded_attention
+    and takes precedence over use_pallas (the fused kernel assumes the full
+    key rows are chip-local)."""
 
     num_heads: int
     dropout: float = 0.0
     use_pallas: bool = False
+    kv_shard_axis: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
 
     def _kernel_seed(self, deterministic):
@@ -205,7 +212,14 @@ class MultiheadAttention(nn.Module):
         q = nn.Dense(D, dtype=self.dtype, name="q_proj")(query)
         k = nn.Dense(D, dtype=self.dtype, name="k_proj")(key)
         v = nn.Dense(D, dtype=self.dtype, name="v_proj")(value)
-        if self.use_pallas:
+        if self.kv_shard_axis is not None:
+            from spe_tpu.ops.seq_parallel import kv_sharded_attention
+
+            out = kv_sharded_attention(
+                _split_heads(q, self.num_heads), _split_heads(k, self.num_heads),
+                _split_heads(v, self.num_heads), axis_name=self.kv_shard_axis,
+                key_padding_mask_local=key_padding_mask)
+        elif self.use_pallas:
             from spe_tpu.ops.pallas_mha import fused_mha
 
             seed, rate = self._kernel_seed(deterministic)
