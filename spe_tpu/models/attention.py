@@ -91,8 +91,10 @@ class TalkingHeadsAttention(nn.Module):
 
             interpret = jax.default_backend() not in ("tpu", "axon")
             # q_tile must match between fwd and bwd (dropout mask identity);
-            # 128 keeps the bwd recompute within VMEM
-            q_tile = 128 if N % 128 == 0 else N
+            # prefer the largest dividing tile — fewer grid steps amortize
+            # the resident K/V better, and the (batch, tile) bwd grid keeps
+            # VMEM bounded at any tile choice
+            q_tile = next((t for t in (512, 256, 128) if N % t == 0), N)
             rate = 0.0 if deterministic else float(self.attn_drop)
             if rate > 0.0:
                 key = self.make_rng("dropout")

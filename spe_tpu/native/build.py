@@ -27,7 +27,7 @@ def build(verbose: bool = True) -> bool:
             continue
         if out_p.exists() and out_p.stat().st_mtime >= src_p.stat().st_mtime:
             continue
-        cmd = ["g++", "-O2", "-shared", "-fPIC", "-std=c++17",
+        cmd = ["g++", "-O3", "-march=native", "-funroll-loops", "-shared", "-fPIC", "-std=c++17",
                "-o", str(out_p), str(src_p)] + flags
         if verbose:
             print("+", " ".join(cmd))

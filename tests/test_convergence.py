@@ -10,118 +10,25 @@ committed threshold, with the weak-supervision chain checked at each link:
 
 Everything is seeded and runs on the deterministic CPU backend, so the
 thresholds are regression guards, not statistical gambles. ~2-3 min.
+
+The same recipe (tests/convergence_recipe.py) runs on the real chip with
+the fused Pallas kernels via scripts_dev/convergence_tpu.py — the
+training-parity run behind the presets' use_pallas_attention default.
 """
 
-import jax
-import jax.numpy as jnp
-import numpy as np
 import pytest
 
-from spe_tpu.config import SPEConfig
-from spe_tpu.data.loader import DataLoader
-from spe_tpu.data.synthetic import SyntheticDetection
-from spe_tpu.models.cait import CaiTConfig
-from spe_tpu.models.detector import SPEDetector
-from spe_tpu.ops.cam_boxes import cam_pseudo_boxes
-from spe_tpu.train import engine
-from spe_tpu.train.optim import make_optimizer
-from spe_tpu.train.train_step import Gates, TrainState, make_train_step
-
-EPOCHS = 20
-
-
-def _iou_cxcywh(a, b):
-    ax = np.concatenate([a[..., :2] - a[..., 2:] / 2, a[..., :2] + a[..., 2:] / 2], -1)
-    bx = np.concatenate([b[..., :2] - b[..., 2:] / 2, b[..., :2] + b[..., 2:] / 2], -1)
-    lt = np.maximum(ax[:, None, :2], bx[None, :, :2])
-    rb = np.minimum(ax[:, None, 2:], bx[None, :, 2:])
-    wh = np.clip(rb - lt, 0, None)
-    inter = wh[..., 0] * wh[..., 1]
-    aa = (ax[:, 2] - ax[:, 0]) * (ax[:, 3] - ax[:, 1])
-    ab = (bx[:, 2] - bx[:, 0]) * (bx[:, 3] - bx[:, 1])
-    return inter / np.maximum(aa[:, None] + ab[None] - inter, 1e-9)
+from tests.convergence_recipe import run_convergence
 
 
 @pytest.mark.slow
 def test_synthetic_training_converges():
-    cfg = SPEConfig(
-        backbone="TSCAM_cait_tiny", num_classes=4, layer_to_det=2,
-        num_queries=12, enc_layers=1, dec_layers=2, dim_feedforward=64,
-        nheads=2, num_refines=0, max_gt_boxes=6, max_cam_boxes_per_class=2,
-        cam_cc_size=16, hung_match_ratio=3, compute_dtype="float32",
-        dropout=0.0, drop_path_rate=0.0, lr=1e-3, lr_backbone=1e-3,
-        lr_cls_head=1e-3, warmup_cls_epochs=2, refine_start_epoch=1000,
-        cam_thr=0.2, batch_size=8, fixed_size=True, max_size=64,
-        dataset_file="synthetic")
-    # random-init tiny training needs a real LayerScale (the recipe's 1e-5
-    # is tuned for pretrained depth-36 weights and freezes a 3-block model)
-    bb = CaiTConfig(img_size=64, patch_size=8, embed_dim=32, depth=3,
-                    num_heads=2, num_classes=4, layer_to_det=2,
-                    depth_token_only=2, init_scale=1.0)
-    model = SPEDetector(backbone_cfg=bb, num_det_classes=cfg.num_det_classes,
-                        num_queries=cfg.num_queries, num_refines=cfg.num_refines,
-                        enc_layers=cfg.enc_layers, dec_layers=cfg.dec_layers,
-                        dim_feedforward=cfg.dim_feedforward, nheads=cfg.nheads,
-                        dropout=0.0)
-
-    # objects >= 1/3 of the image: the 8x8 patch grid quantizes boxes to
-    # ~patch size, so smaller objects cap pseudo-box IoU below the AP50 bar
-    ds = SyntheticDetection(num_images=64, num_classes=4, img_size=64, seed=0,
-                            max_objects=2, min_frac=1 / 3, max_frac=1 / 2)
-    loader = DataLoader(ds, cfg.batch_size, cfg.num_classes, fixed_size=64,
-                        seed=0)
-    loader_eval = DataLoader(ds, cfg.batch_size, cfg.num_classes,
-                             fixed_size=64, shuffle=False, drop_last=False,
-                             max_gt=6)
-
-    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
-    tx = make_optimizer(cfg, steps_per_epoch=8, params=params)
-    state = TrainState(jnp.int32(0), params, tx.init(params))
-    step = jax.jit(make_train_step(model, cfg, tx), donate_argnums=(0,))
-    rng = jax.random.PRNGKey(1)
-
-    @jax.jit
-    def pseudo(params, images, img_label, cam_thr):
-        out = model.apply(params, images, deterministic=True)
-        return cam_pseudo_boxes(
-            out["backbone"]["cams_cls"], img_label, cam_thr,
-            area_ratio=cfg.multi_box_ratio, size=cfg.cam_cc_size,
-            k=cfg.max_cam_boxes_per_class, max_boxes=cfg.max_gt_boxes)
-
-    def pseudo_quality(params):
-        ious = []
-        for batch in loader_eval.epoch(0):
-            t = pseudo(params, jnp.asarray(batch["images"]),
-                       jnp.asarray(batch["img_label"]), jnp.float32(cfg.cam_thr))
-            pb, pm = np.asarray(t["boxes"]), np.asarray(t["mask"])
-            for b in range(pb.shape[0]):
-                gm = batch["gt_mask"][b]
-                if pm[b].any() and gm.any():
-                    ious.append(_iou_cxcywh(batch["gt_boxes"][b][gm],
-                                            pb[b][pm[b]]).max(1).mean())
-                elif gm.any():
-                    ious.append(0.0)
-        return float(np.mean(ious))
-
-    iou_start = pseudo_quality(state.params)
-
-    metrics = None
-    for epoch in range(EPOCHS):
-        gates = Gates.for_epoch(cfg, epoch)
-        for i, batch in enumerate(loader.epoch(epoch)):
-            b = {k: jnp.asarray(v) for k, v in batch.items()
-                 if k in ("images", "pad_mask", "img_label")}
-            state, metrics = step(state, b,
-                                  jax.random.fold_in(rng, epoch * 1000 + i), gates)
-
-    assert int(metrics["bad_steps"]) == 0
+    r = run_convergence(use_pallas=False)
+    assert r["bad_steps"] == 0
     # 1) classifier learned
-    assert float(metrics["img_label_logits"]) < 0.3, float(metrics["img_label_logits"])
+    assert r["bce"] < 0.3, r
     # 2) CAM pseudo-boxes localize
-    iou_end = pseudo_quality(state.params)
-    assert iou_end > 0.35, (iou_start, iou_end)
-    assert iou_end > iou_start + 0.15, (iou_start, iou_end)
+    assert r["iou_end"] > 0.35, r
+    assert r["iou_end"] > r["iou_start"] + 0.15, r
     # 3) detection AP50 above the committed threshold
-    stats = engine.evaluate_coco(model, state.params, loader_eval, ds.coco_gt(),
-                                 cfg, refine_stage=0, use_aux_layer=False)
-    assert stats["AP50"] >= 0.08, stats
+    assert r["ap50"] >= 0.08, r
