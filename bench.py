@@ -55,10 +55,10 @@ def main():
     from spe_tpu.train.optim import make_optimizer
     from spe_tpu.train.train_step import Gates, TrainState, make_train_step
 
-    # fused Pallas talking-heads attention (incl. in-kernel attention
-    # dropout honoring the recipe's drop_attn_rate): measured 1.87x over
-    # the einsum path at this config
-    cfg = voc0712_preset(batch_size=BATCH, use_pallas_attention=True)
+    # the stock preset: fused Pallas attention (all four flavors, in-kernel
+    # dropout) is the shipped default — the benched config IS the config a
+    # --preset voc0712 user trains with (batch size aside)
+    cfg = voc0712_preset(batch_size=BATCH)
     model = build_model(cfg)
     n_dev = len(jax.devices())
     mesh = make_mesh()

@@ -211,6 +211,9 @@ def voc0712_preset(**overrides) -> SPEConfig:
         box_jitter=0.1,
         num_classes=20,
         seed=42,
+        # fused Pallas attention (all four flavors, in-kernel dropout):
+        # training parity confirmed on-chip (scripts_dev/convergence_tpu.py)
+        use_pallas_attention=True,
     )
     return cfg.replace(**overrides)
 
@@ -245,6 +248,7 @@ def coco17_preset(**overrides) -> SPEConfig:
         warmup_cls_epochs=1,   # engine.py:573-581 (COCO path gates at epoch 1)
         refine_start_epoch=1,
         max_gt_boxes=48,       # COCO images carry more categories
+        use_pallas_attention=True,  # parity: scripts_dev/convergence_tpu.py
     )
     return cfg.replace(**overrides)
 
