@@ -57,7 +57,7 @@ def main():
     def model_loss(p, x, k):
         out = model.apply(p, x, deterministic=False, rngs={"dropout": k})
         s = 0.0
-        for st in out["stages"]:
+        for st in out["stages"].values():
             s = s + jnp.sum(st["pred_logits"].astype(jnp.float32) ** 2) \
                   + jnp.sum(st["pred_boxes"].astype(jnp.float32) ** 2)
         s = s + jnp.sum(out["backbone"]["cams_cls"].astype(jnp.float32) ** 2)

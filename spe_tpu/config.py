@@ -289,6 +289,10 @@ def build_arg_parser(defaults: Optional[SPEConfig] = None) -> argparse.ArgumentP
         default = getattr(cfg, name)
         if name in _STORE_TRUE:
             p.add_argument(flag, action="store_true", default=argparse.SUPPRESS)
+            # preset defaults can be True (e.g. use_pallas_attention in the
+            # recipe presets): a store_true flag alone couldn't unset them
+            p.add_argument(f"--no_{name}", dest=name, action="store_false",
+                           default=argparse.SUPPRESS)
         elif f.type in ("Optional[str]", "str") or isinstance(default, str) or default is None:
             p.add_argument(flag, type=str, default=argparse.SUPPRESS)
         elif isinstance(default, bool):
