@@ -51,8 +51,12 @@ def main():
 
     rows = []
 
+    def add(name, ms):
+        rows.append((name, ms))
+        print(f"{ms:9.1f} ms  {ms/B:6.1f} ms/img  {name}", flush=True)
+
     fwd = jax.jit(lambda p, x: model.apply(p, x, deterministic=True))
-    rows.append(("fwd (deterministic)", bench(fwd, params, batch["images"], iters=8)))
+    add("fwd (deterministic)", bench(fwd, params, batch["images"], iters=8))
 
     def model_loss(p, x, k):
         out = model.apply(p, x, deterministic=False, rngs={"dropout": k})
@@ -63,8 +67,7 @@ def main():
         s = s + jnp.sum(out["backbone"]["cams_cls"].astype(jnp.float32) ** 2)
         return s
     fwd_bwd = jax.jit(jax.grad(model_loss))
-    rows.append(("fwd+bwd (model only)",
-                 bench(fwd_bwd, params, batch["images"], key, iters=8)))
+    add("fwd+bwd (model only)", bench(fwd_bwd, params, batch["images"], key, iters=8))
 
     out0 = fwd(params, batch["images"])
     cams = out0["backbone"]["cams_cls"]
@@ -72,22 +75,20 @@ def main():
         c, il, jnp.float32(0.1), area_ratio=cfg.multi_box_ratio,
         size=cfg.cam_cc_size, k=cfg.max_cam_boxes_per_class,
         max_boxes=cfg.max_gt_boxes))
-    rows.append(("cam->pseudo boxes", bench(cam_fn, cams, batch["img_label"], iters=8)))
+    add("cam->pseudo boxes", bench(cam_fn, cams, batch["img_label"], iters=8))
 
     loss_fn = jax.jit(lambda p, b, k, g: compute_losses(
         model, p, b, k, cfg, g, num_devices=1)[0])
-    rows.append(("fwd + pseudo + criteria (no bwd)",
-                 bench(loss_fn, params, batch, key, gates, iters=8)))
+    add("fwd + pseudo + criteria (no bwd)", bench(loss_fn, params, batch, key, gates, iters=8))
 
     grad_fn = jax.jit(lambda p, b, k, g: jax.grad(
         lambda pp: compute_losses(model, pp, b, k, cfg, g, num_devices=1)[0])(p))
-    rows.append(("full loss fwd+bwd (no optimizer)",
-                 bench(grad_fn, params, batch, key, gates, iters=8)))
+    add("full loss fwd+bwd (no optimizer)", bench(grad_fn, params, batch, key, gates, iters=8))
 
     step = jax.jit(make_train_step(model, cfg, tx, num_devices=1))
     def run_step(s, b, k, g):
         return step(s, b, k, g)
-    rows.append(("full train step", bench(run_step, state, batch, key, gates, iters=8)))
+    add("full train step", bench(run_step, state, batch, key, gates, iters=8))
 
     print("\n== ablation attribution (B8 512², stock voc0712 preset) ==")
     for name, ms in rows:

@@ -30,9 +30,12 @@ from jax.experimental.pallas import tpu as pltpu
 def _kernel(q_ref, k_ref, v_ref, wl_ref, bl_ref, ww_ref, bw_ref, seed_ref,
             o_ref, *, dropout_rate: float = 0.0):
     # q_ref: (1, H, Tq, dh); k_ref/v_ref: (1, H, N, dh); wl/ww: (H, H); bl/bw: (H, 1)
-    q = q_ref[0].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
+    # MXU discipline: dot operands stay in the INPUT dtype (bf16 under the
+    # recipe's compute_dtype -> native MXU rate) with f32 accumulation via
+    # preferred_element_type; softmax/mixing run f32 on the VPU.
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
     dh = q.shape[-1]
     scale = dh ** -0.5
 
@@ -40,9 +43,9 @@ def _kernel(q_ref, k_ref, v_ref, wl_ref, bl_ref, ww_ref, bw_ref, seed_ref,
     # per-head QK^T (python loop over the tiny static head dim: Mosaic
     # cannot lower batched/head-contracting dot_generals in one op)
     logits = [jax.lax.dot_general(
-        q[h] * scale, k[h],
+        q[h], k[h],
         dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) for h in range(H)]  # H x (Tq, N)
+        preferred_element_type=jnp.float32) * scale for h in range(H)]  # H x (Tq, N)
 
     def mix(parts, w_ref, b_ref):
         # out_g = sum_h parts[h] * w[h, g] + b[g], unrolled scalar-weighted sums
@@ -72,7 +75,7 @@ def _kernel(q_ref, k_ref, v_ref, wl_ref, bl_ref, ww_ref, bw_ref, seed_ref,
         p2 = _apply_dropout(p2, dropout_rate)
     for j in range(H):
         out = jax.lax.dot_general(
-            p2[j], v[j],
+            p2[j].astype(v.dtype), v[j],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)    # (Tq, dh)
         o_ref[0, j] = out.astype(o_ref.dtype)

@@ -45,8 +45,10 @@ def _bwd_kernel(q_ref, k_ref, v_ref, wl_ref, bl_ref, ww_ref, bw_ref, seed_ref,
     scale = dh ** -0.5
     t = pl.program_id(1)
 
-    k = [k_ref[0, h].astype(jnp.float32) for h in range(H)]
-    v = [v_ref[0, h].astype(jnp.float32) for h in range(H)]
+    # dot operands keep the input dtype (bf16 -> native MXU rate) with f32
+    # accumulation; VPU math (softmax, mixing, dropout) stays f32
+    k = [k_ref[0, h] for h in range(H)]
+    v = [v_ref[0, h] for h in range(H)]
 
     # zero accumulators on the first q-tile of each batch element (the
     # accumulator blocks are revisited across the inner tile axis; scalar
@@ -67,11 +69,12 @@ def _bwd_kernel(q_ref, k_ref, v_ref, wl_ref, bl_ref, ww_ref, bw_ref, seed_ref,
         return jax.lax.dot_general(a, b, dimension_numbers=dims,
                                    preferred_element_type=jnp.float32)
 
-    q = [q_ref[0, h].astype(jnp.float32) for h in range(H)]
-    dy = [dy_ref[0, h].astype(jnp.float32) for h in range(H)]
+    q = [q_ref[0, h] for h in range(H)]
+    dy = [dy_ref[0, h] for h in range(H)]
+    in_dt = q_ref.dtype
 
     # --- recompute forward for this tile ---
-    L = [dot(q[h], k[h], tb=True) * scale for h in range(H)]  # (Tq, N)
+    L = [dot(q[h], k[h], tb=True) * scale for h in range(H)]  # (Tq, N) f32
     P = []
     for g in range(H):
         m = L[0] * wl_ref[0, g]
@@ -99,7 +102,7 @@ def _bwd_kernel(q_ref, k_ref, v_ref, wl_ref, bl_ref, ww_ref, bw_ref, seed_ref,
         p2 = p2 + bw_ref[j, 0]
         if dropout_rate > 0.0:
             p2 = jnp.where(keeps[j], p2 / keep_prob, 0.0)
-        dv_ref[0, j] += dot(p2, dy[j], ta=True).astype(dv_ref.dtype)
+        dv_ref[0, j] += dot(p2.astype(in_dt), dy[j], ta=True).astype(dv_ref.dtype)
 
     dP2 = [dot(dy[j], v[j], tb=True) for j in range(H)]      # (Tq, N)
     if dropout_rate > 0.0:
@@ -124,6 +127,7 @@ def _bwd_kernel(q_ref, k_ref, v_ref, wl_ref, bl_ref, ww_ref, bw_ref, seed_ref,
         dl = dM[0] * wl_ref[h, 0]
         for g in range(1, H):
             dl = dl + dM[g] * wl_ref[h, g]
+        dl = dl.astype(in_dt)
         dq_ref[0, h] = (dot(dl, k[h]) * scale).astype(dq_ref.dtype)
         dk_ref[0, h] += (dot(dl, q[h], ta=True) * scale).astype(dk_ref.dtype)
 

@@ -61,12 +61,14 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, seed_ref, o_ref, attn_ref=None,
                                    dropout_rate)
 
     for h in range(H):
-        q = q_ref[0, h].astype(jnp.float32) * scale
-        k = k_ref[0, h].astype(jnp.float32)
-        v = v_ref[0, h].astype(jnp.float32)
+        # dot operands keep the input dtype (bf16 -> native MXU rate) with
+        # f32 accumulation; softmax runs f32 on the VPU
+        q = q_ref[0, h]
+        k = k_ref[0, h]
+        v = v_ref[0, h]
         logits = jax.lax.dot_general(
             q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)              # (Tq, Nk)
+            preferred_element_type=jnp.float32) * scale      # (Tq, Nk)
         logits = logits + bias[None, :]
         m = jnp.max(logits, axis=-1, keepdims=True)
         e = jnp.exp(logits - m)
@@ -76,7 +78,8 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, seed_ref, o_ref, attn_ref=None,
         if dropout_rate > 0.0:
             p = jnp.where(keeps[h], p / kp, 0.0)
         o_ref[0, h] = jax.lax.dot_general(
-            p, v, dimension_numbers=(((1,), (0,)), ((), ())),
+            p.astype(v.dtype), v,
+            dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32).astype(o_ref.dtype)
 
 
@@ -106,13 +109,14 @@ def _bwd_kernel(q_ref, k_ref, v_ref, bias_ref, seed_ref, dy_ref,
         b_id = pl.program_id(0)
         pltpu.prng_seed(seed_ref[0].astype(jnp.int32) + b_id * 65536 + t)
         keeps, kp = _dropout_masks((q_tile, k_ref.shape[2]), H, dropout_rate)
+    in_dt = q_ref.dtype
     for h in range(H):
-        q = q_ref[0, h].astype(jnp.float32)
-        k = k_ref[0, h].astype(jnp.float32)
-        v = v_ref[0, h].astype(jnp.float32)
-        dy = dy_ref[0, h].astype(jnp.float32)
+        q = q_ref[0, h]
+        k = k_ref[0, h]
+        v = v_ref[0, h]
+        dy = dy_ref[0, h]
 
-        logits = dot(q * scale, k, tb=True) + bias[None, :]
+        logits = dot(q, k, tb=True) * scale + bias[None, :]
         m = jnp.max(logits, axis=-1, keepdims=True)
         e = jnp.exp(logits - m)
         p = e / jnp.sum(e, axis=-1, keepdims=True)     # (Tq, Nk)
@@ -121,14 +125,14 @@ def _bwd_kernel(q_ref, k_ref, v_ref, bias_ref, seed_ref, dy_ref,
             z = jnp.where(keeps[h], p / kp, 0.0)
         else:
             z = p
-        dv_ref[0, h] += dot(z, dy, ta=True).astype(dv_ref.dtype)
+        dv_ref[0, h] += dot(z.astype(in_dt), dy, ta=True).astype(dv_ref.dtype)
 
         dz = dot(dy, v, tb=True)                        # (Tq, Nk)
         if dropout_rate > 0.0:
             dp = jnp.where(keeps[h], dz / kp, 0.0)
         else:
             dp = dz
-        dl = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        dl = (p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))).astype(in_dt)
         dq_ref[0, h] = (dot(dl, k) * scale).astype(dq_ref.dtype)
         dk_ref[0, h] += (dot(dl, q, ta=True) * scale).astype(dk_ref.dtype)
 

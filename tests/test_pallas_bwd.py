@@ -125,3 +125,27 @@ def test_fused_dropout_deterministic_and_grads(rng):
                   argnums=2)(*args)
     fd = (f(1e-3) - f(-1e-3)) / 2e-3
     np.testing.assert_allclose(float(gv[0, 0, 3, 2]), fd, rtol=2e-2)
+
+
+def test_fused_bf16_inputs(rng):
+    """bf16 operands (the recipe's compute_dtype) hit the MXU natively;
+    forward and grads must track the f32 einsum within bf16 rounding."""
+    args = _inputs(rng, B=2, H=2, N=64, dh=16)
+    bf = [a.astype(jnp.bfloat16) if a.ndim == 4 else a for a in args]
+
+    want = np.asarray(talking_heads_reference(*args), np.float32)
+    got = np.asarray(fused_talking_heads(*bf, None, 32, True), np.float32)
+    np.testing.assert_allclose(got, want, rtol=0.05, atol=0.05)
+
+    def loss_f(*a):
+        return jnp.sum(fused_talking_heads(*a, None, 32, True).astype(jnp.float32) ** 2)
+
+    def loss_r(*a):
+        return jnp.sum(talking_heads_reference(*a) ** 2)
+
+    gf = jax.grad(loss_f, argnums=(0, 1, 2, 3))(*bf)
+    gr = jax.grad(loss_r, argnums=(0, 1, 2, 3))(*args)
+    for name, a, b in zip(["q", "k", "v", "wl"], gf, gr):
+        scale = np.abs(np.asarray(b, np.float32)).max() + 1e-6
+        err = np.abs(np.asarray(a, np.float32) - np.asarray(b, np.float32)).max() / scale
+        assert err < 0.1, (name, err)

@@ -128,3 +128,30 @@ def test_dropout_grads_consistent(rng):
     fd = (loss(q + eps * d) - loss(q - eps * d)) / (2 * eps)
     an = (g * d).sum()
     np.testing.assert_allclose(float(fd), float(an), rtol=2e-2)
+
+
+def test_fused_mha_bf16_inputs(rng):
+    """bf16 operands hit the MXU natively (f32 accumulation); results must
+    track the f32 einsum reference within bf16 rounding."""
+    import jax
+
+    mk = lambda *s: jnp.array(rng.normal(size=s).astype(np.float32))
+    q, k, v = mk(2, 2, 32, 16), mk(2, 2, 48, 16), mk(2, 2, 48, 16)
+    want = np.asarray(einsum_mha(q, k, v)[0])
+    got = fused_mha(q.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
+                    v.astype(jnp.bfloat16), interpret=True)
+    assert got.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(got, np.float32), want,
+                               rtol=0.05, atol=0.05)
+
+    def loss(q, k, v):
+        return jnp.sum(fused_mha(q, k, v, interpret=True).astype(jnp.float32) ** 2)
+
+    g = jax.grad(loss, argnums=(0, 1, 2))(
+        q.astype(jnp.bfloat16), k.astype(jnp.bfloat16), v.astype(jnp.bfloat16))
+    gr = jax.grad(lambda a, b, c: jnp.sum(einsum_mha(a, b, c)[0] ** 2),
+                  argnums=(0, 1, 2))(q, k, v)
+    for name, a, b in zip("qkv", g, gr):
+        scale = np.abs(np.asarray(b)).max() + 1e-6
+        err = np.abs(np.asarray(a, np.float32) - np.asarray(b)).max() / scale
+        assert err < 0.1, (name, err)
