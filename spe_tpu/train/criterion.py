@@ -104,6 +104,11 @@ def matcher_cost(pred_logits: jnp.ndarray, pred_boxes: jnp.ndarray,
 def match(pred_logits, pred_boxes, targets, *, method: str = "auction",
           cost_class: float = 2.0, cost_bbox: float = 5.0, cost_giou: float = 2.0):
     """Batched assignment: returns row_for_col (B, T) query index per target."""
+    # matching is not differentiated (reference runs the matcher under
+    # no_grad, matcher.py:42); stop_gradient guarantees the cost-matrix
+    # graph is pruned from the backward pass
+    pred_logits = jax.lax.stop_gradient(pred_logits)
+    pred_boxes = jax.lax.stop_gradient(pred_boxes)
     cost = jax.vmap(lambda lg, bx, lb, tb, m: matcher_cost(
         lg, bx, lb, tb, m, cost_class, cost_bbox, cost_giou))(
         pred_logits, pred_boxes, targets["labels"], targets["boxes"], targets["mask"])
@@ -129,21 +134,27 @@ def _layer_losses(pred_logits, pred_boxes, targets, row_for_col, num_boxes,
     maskf = mask.astype(jnp.float32)
     labels = jnp.clip(targets["labels"], 0, K - 1)
 
-    # --- classification: one-hot targets scattered at matched queries ---
-    onehot = jnp.zeros((B, Q, K), jnp.float32)
-    b_idx = jnp.broadcast_to(jnp.arange(B)[:, None], (B, T))
-    q_idx = jnp.where(mask, row_for_col, Q)  # padded -> dropped
-    onehot = onehot.at[b_idx, q_idx, labels].set(1.0, mode="drop")
+    # --- classification: one-hot targets at matched queries ---
+    # scatter-free: TPU scatters carry a ~ms fixed cost and this runs per
+    # decoder layer per stage (12x per step). The selection matrix
+    # sel (B, T, Q) turns every "write at matched query" into a matmul
+    # (and every gather below into one whose BACKWARD is also a matmul).
+    # The assignment is injective over valid targets, so sums don't collide;
+    # jnp.minimum guards the degenerate case to match .set semantics.
+    sel = (jax.nn.one_hot(jnp.clip(row_for_col, 0, Q - 1), Q,
+                          dtype=jnp.float32) * maskf[:, :, None])  # (B, T, Q)
+    labhot = jax.nn.one_hot(labels, K, dtype=jnp.float32)          # (B, T, K)
+    onehot = jnp.minimum(jnp.einsum("btq,btk->bqk", sel, labhot), 1.0)
 
     if refine_weights:
         scores = targets["scores"]
         avg_score = (scores * maskf).sum(1) / jnp.maximum(maskf.sum(1), 1.0)
-        weights = jnp.ones((B, Q, K), jnp.float32) * avg_score[:, None, None]
         # matched queries: weight = min(3*score, 1) across all classes
-        # (conditional_detr.py:524-529)
+        # (conditional_detr.py:524-529); unmatched get the mean score
         wvals = jnp.clip(scores * 3.0, None, 1.0)
-        qw = jnp.ones((B, Q), jnp.float32) * avg_score[:, None]
-        qw = qw.at[b_idx, q_idx].set(jnp.where(mask, wvals, 0.0), mode="drop")
+        matched = jnp.minimum(jnp.einsum("btq->bq", sel), 1.0)     # (B, Q)
+        wsum = jnp.einsum("btq,bt->bq", sel, wvals)
+        qw = avg_score[:, None] * (1.0 - matched) + wsum
         weights = jnp.broadcast_to(qw[:, :, None], (B, Q, K))
     else:
         weights = jnp.ones((B, Q, K), jnp.float32)
@@ -152,10 +163,12 @@ def _layer_losses(pred_logits, pred_boxes, targets, row_for_col, num_boxes,
         pred_logits.astype(jnp.float32), onehot, num_boxes, weights,
         alpha=focal_alpha, gamma=focal_gamma) * Q
 
-    # --- boxes: gather matched pairs ---
-    src_boxes = jnp.take_along_axis(
-        pred_boxes.astype(jnp.float32),
-        jnp.clip(row_for_col, 0, Q - 1)[:, :, None], axis=1)  # (B, T, 4)
+    # --- boxes: gather matched pairs via the selection matmul (backward is
+    # a matmul into pred_boxes instead of a scatter-add) ---
+    sel_any = jax.nn.one_hot(jnp.clip(row_for_col, 0, Q - 1), Q,
+                             dtype=jnp.float32)
+    src_boxes = jnp.einsum("btq,bqc->btc", sel_any,
+                           pred_boxes.astype(jnp.float32))  # (B, T, 4)
     tgt_boxes = targets["boxes"].astype(jnp.float32)
     pair_w = targets.get("scores") if refine_weights else None
 
