@@ -116,6 +116,12 @@ class SPEConfig:
     # static shape caps (the reference uses dynamic per-image shapes)
     max_gt_boxes: int = 24            # raw pseudo/GT boxes per image before repeat
     max_cam_boxes_per_class: int = 4  # components kept per positive class
+    # positive-class budget for the CAM->boxes pipeline: the expensive
+    # connected-components work runs on this many gathered channels instead
+    # of all num_classes (exact for images with <= max_pos_classes positive
+    # labels; beyond that, lowest class indices win — the same truncation
+    # the max_gt_boxes packing applies)
+    max_pos_classes: int = 8
     cam_cc_size: int = 64             # CAM is resized to this grid for connected components
     # mesh
     mesh_axes: Tuple[str, ...] = ("data",)

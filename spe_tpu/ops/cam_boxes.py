@@ -157,7 +157,7 @@ def _cam_to_class_boxes(cam, cam_thr, area_ratio, k):
     return boxes, valid
 
 
-@functools.partial(jax.jit, static_argnames=("size", "k", "max_boxes"))
+@functools.partial(jax.jit, static_argnames=("size", "k", "max_boxes", "max_pos"))
 def cam_pseudo_boxes(
     cams: jnp.ndarray,
     img_label: jnp.ndarray,
@@ -166,6 +166,7 @@ def cam_pseudo_boxes(
     size: int = 64,
     k: int = 4,
     max_boxes: int = 24,
+    max_pos: int | None = None,
 ):
     """Pseudo GT boxes from class-attention maps for a batch.
 
@@ -177,6 +178,13 @@ def cam_pseudo_boxes(
       size: labeling grid resolution.
       k: max components per positive class.
       max_boxes: per-image box budget after packing.
+      max_pos: budget of positive classes processed per image. The expensive
+        pipeline (resize, component labeling, sort, box reductions) then runs
+        on (B, max_pos) gathered channels instead of all (B, C) — the
+        reference only ever extracts boxes for positive classes
+        (engine.py:379-381), so for max_pos >= #positives this is exact.
+        Images with more positives keep the LOWEST class indices, mirroring
+        the class-ascending truncation the max_boxes packing applies anyway.
 
     Returns dict:
       boxes:  (B, max_boxes, 4) normalized cxcywh
@@ -184,24 +192,45 @@ def cam_pseudo_boxes(
       mask:   (B, max_boxes) bool
     """
     B, C, h, w = cams.shape
-    cams = jax.image.resize(cams.astype(jnp.float32), (B, C, size, size), "bilinear")
     cam_thr = jnp.asarray(cam_thr, jnp.float32)
 
+    if max_pos is not None and max_pos < C:
+        P = max_pos
+        # top_k on a 0/1 vector returns the positive entries first, ties
+        # broken by LOWEST index; re-sorting the indices keeps ascending
+        # class order for the packing key below
+        _, pos_idx = jax.lax.top_k(img_label.astype(jnp.float32), P)  # (B, P)
+        pos_idx = jnp.sort(pos_idx, axis=1).astype(jnp.int32)
+        sel_cams = jnp.take_along_axis(cams, pos_idx[:, :, None, None], axis=1)
+        sel_label = jnp.take_along_axis(img_label, pos_idx, axis=1)
+    else:
+        P = C
+        pos_idx = jnp.broadcast_to(jnp.arange(C, dtype=jnp.int32)[None, :], (B, C))
+        sel_cams, sel_label = cams, img_label
+
+    sel_cams = jax.image.resize(sel_cams.astype(jnp.float32),
+                                (B, P, size, size), "bilinear")
     boxes, valid = jax.vmap(jax.vmap(
-        lambda cam: _cam_to_class_boxes(cam, cam_thr, area_ratio, k)))(cams)
-    # boxes: (B, C, k, 4) xyxy in [0,1]; valid: (B, C, k)
-    valid = valid & (img_label > 0)[:, :, None]
+        lambda cam: _cam_to_class_boxes(cam, cam_thr, area_ratio, k)))(sel_cams)
+    # boxes: (B, P, k, 4) xyxy in [0,1]; valid: (B, P, k)
+    valid = valid & (sel_label > 0)[:, :, None]
 
     # pack per image in reference order: class ascending, area rank ascending
-    cls_ids = jnp.broadcast_to(jnp.arange(C, dtype=jnp.int32)[None, :, None], (B, C, k))
-    rank = jnp.broadcast_to(jnp.arange(k, dtype=jnp.int32)[None, None, :], (B, C, k))
+    cls_ids = jnp.broadcast_to(pos_idx[:, :, None], (B, P, k))
+    rank = jnp.broadcast_to(jnp.arange(k, dtype=jnp.int32)[None, None, :], (B, P, k))
     key = jnp.where(valid, cls_ids * k + rank, C * k + 1)
-    key_flat = key.reshape(B, C * k)
-    order = jnp.argsort(key_flat, axis=1)[:, :max_boxes]
+    key_flat = key.reshape(B, P * k)
+    n_keep = min(max_boxes, P * k)
+    order = jnp.argsort(key_flat, axis=1)[:, :n_keep]
     out_boxes = jnp.take_along_axis(
-        boxes.reshape(B, C * k, 4), order[:, :, None], axis=1)
-    out_valid = jnp.take_along_axis(valid.reshape(B, C * k), order, axis=1)
-    out_labels = jnp.take_along_axis((cls_ids + 1).reshape(B, C * k), order, axis=1)
+        boxes.reshape(B, P * k, 4), order[:, :, None], axis=1)
+    out_valid = jnp.take_along_axis(valid.reshape(B, P * k), order, axis=1)
+    out_labels = jnp.take_along_axis((cls_ids + 1).reshape(B, P * k), order, axis=1)
+    if n_keep < max_boxes:
+        pad = max_boxes - n_keep
+        out_boxes = jnp.pad(out_boxes, ((0, 0), (0, pad), (0, 0)))
+        out_valid = jnp.pad(out_valid, ((0, 0), (0, pad)))
+        out_labels = jnp.pad(out_labels, ((0, 0), (0, pad)))
 
     from spe_tpu.ops.boxes import box_xyxy_to_cxcywh
 

@@ -75,7 +75,8 @@ def compute_losses(model, params, batch, rng, cfg: SPEConfig, gates: Gates,
     cam_targets = cam_pseudo_boxes(
         cams, batch["img_label"], gates.cam_thr,
         area_ratio=cfg.multi_box_ratio, size=cfg.cam_cc_size,
-        k=cfg.max_cam_boxes_per_class, max_boxes=cfg.max_gt_boxes)
+        k=cfg.max_cam_boxes_per_class, max_boxes=cfg.max_gt_boxes,
+        max_pos=cfg.max_pos_classes)
     cam_targets["scores"] = jnp.ones_like(cam_targets["labels"], jnp.float32)
 
     # ---- refinement pseudo labels: stage k supervises stage k+1

@@ -119,3 +119,22 @@ def test_cam_boxes_jit_traced_threshold(rng):
     wa = np.asarray(a["boxes"][0, 0, 2:]).prod()
     wb = np.asarray(b["boxes"][0, 0, 2:]).prod()
     assert wb >= wa - 1e-6
+
+
+def test_max_pos_budget_matches_full(rng):
+    """Gathering positive channels (max_pos) must be exact when every image
+    has <= max_pos positive labels."""
+    B, C, S = 3, 12, 24
+    cams = rng.normal(size=(B, C, S, S)).astype(np.float32)
+    img_label = np.zeros((B, C), np.float32)
+    img_label[0, [1, 7]] = 1
+    img_label[1, [0, 3, 11]] = 1
+    img_label[2, [5]] = 1
+    full = cam_pseudo_boxes(jnp.array(cams), jnp.array(img_label), 0.2,
+                            size=16, k=2, max_boxes=8)
+    budg = cam_pseudo_boxes(jnp.array(cams), jnp.array(img_label), 0.2,
+                            size=16, k=2, max_boxes=8, max_pos=4)
+    np.testing.assert_array_equal(np.asarray(full["mask"]), np.asarray(budg["mask"]))
+    np.testing.assert_array_equal(np.asarray(full["labels"]), np.asarray(budg["labels"]))
+    np.testing.assert_allclose(np.asarray(full["boxes"]), np.asarray(budg["boxes"]),
+                               rtol=1e-6, atol=1e-6)
