@@ -30,7 +30,8 @@ def build_dataset(image_set: str, dataset_file: str, cfg: SPEConfig):
         split = "train2017" if train else "val2017"
         return CocoFormatDataset(
             root / split, root / "annotations" / f"instances_{split}.json",
-            transform=tf, num_classes=90, remove_empty=train)
+            transform=tf, num_classes=90, remove_empty=train,
+            return_masks=cfg.masks)
     if dataset_file in ("voc", "voc12"):
         from spe_tpu.data.coco import CocoFormatDataset
 
@@ -38,7 +39,8 @@ def build_dataset(image_set: str, dataset_file: str, cfg: SPEConfig):
         ann = ("voc_07_12_trainval.json" if train else "voc_2007_test.json")
         img_dir = root / ("trainval" if train else "test")
         return CocoFormatDataset(img_dir, root / "annotations" / ann,
-                                 transform=tf, num_classes=20, remove_empty=train)
+                                 transform=tf, num_classes=20,
+                                 remove_empty=train, return_masks=cfg.masks)
     if dataset_file == "voc_voc":
         from spe_tpu.data.voc import VOCDevkitDataset
 
@@ -61,5 +63,6 @@ def build_dataset(image_set: str, dataset_file: str, cfg: SPEConfig):
 
         return SyntheticDetection(
             num_images=256 if train else 64, num_classes=cfg.num_classes,
-            img_size=cfg.max_size, seed=0 if train else 1, transform=tf)
+            img_size=cfg.max_size, seed=0 if train else 1, transform=tf,
+            return_masks=cfg.masks)
     raise ValueError(f"unknown dataset_file {dataset_file}")

@@ -23,10 +23,13 @@ from PIL import Image
 
 class CocoFormatDataset:
     def __init__(self, img_folder, ann_file, transform=None, num_classes: int = 90,
-                 remove_empty: bool = True):
+                 remove_empty: bool = True, return_masks: bool = False):
         self.img_folder = Path(img_folder)
         self.transform = transform
         self.num_classes = num_classes
+        # decode instance masks (reference ConvertCocoPolysToMask
+        # return_masks, coco.py:199-210) — needed for --masks training
+        self.return_masks = return_masks
         with open(ann_file) as f:
             coco = json.load(f)
         self.images = {im["id"]: im for im in coco["images"]}
@@ -76,7 +79,7 @@ class CocoFormatDataset:
                 img_label[c - 1] = 1.0
 
         keep = (boxes[:, 3] > boxes[:, 1]) & (boxes[:, 2] > boxes[:, 0])
-        return {
+        target = {
             "image_id": image_id,
             "boxes": boxes[keep],
             "labels": classes[keep],
@@ -86,6 +89,15 @@ class CocoFormatDataset:
             "area": np.array([a.get("area", 0.0) for a in anno], np.float32)[keep],
             "iscrowd": np.zeros(int(keep.sum()), np.int64),
         }
+        if self.return_masks:
+            from spe_tpu.data.masks import ann_to_mask
+
+            masks = [ann_to_mask(a.get("segmentation", []), h, w)
+                     for a in anno]
+            masks = (np.stack(masks) if masks
+                     else np.zeros((0, h, w), np.uint8))
+            target["masks"] = masks[keep]
+        return target
 
     def __getitem__(self, idx: int):
         image_id = self.ids[idx]

@@ -32,6 +32,8 @@ def hflip(img: Image.Image, target: Dict) -> Tuple[Image.Image, Dict]:
         b = t["boxes"].copy()
         b[:, [0, 2]] = w - b[:, [2, 0]]
         t["boxes"] = b
+    if "masks" in t and len(t["masks"]):
+        t["masks"] = t["masks"][:, :, ::-1].copy()
     return img, t
 
 
@@ -46,6 +48,13 @@ def resize(img: Image.Image, target: Dict, size: Tuple[int, int]) -> Tuple[Image
         b[:, [0, 2]] *= w1 / w0
         b[:, [1, 3]] *= h1 / h0
         t["boxes"] = b
+    if "masks" in t and len(t["masks"]):
+        # nearest-neighbor via index sampling (reference interpolates masks
+        # with nearest when resizing, transforms.py resize path)
+        m = t["masks"]
+        yi = (np.arange(h1) * (m.shape[1] / h1)).astype(np.int64)
+        xi = (np.arange(w1) * (m.shape[2] / w1)).astype(np.int64)
+        t["masks"] = m[:, yi][:, :, xi]
     t["size"] = np.array([h1, w1], np.int64)
     return img, t
 
@@ -77,6 +86,8 @@ def random_size_crop(img, target, min_size: int, max_size: int):
         t["boxes"] = b[keep]
         if "labels" in t:
             t["labels"] = t["labels"][keep]
+        if "masks" in t and len(t["masks"]):
+            t["masks"] = t["masks"][keep][:, y0:y0 + h, x0:x0 + w]
     t["size"] = np.array([h, w], np.int64)
     return img, t
 

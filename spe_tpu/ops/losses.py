@@ -93,12 +93,16 @@ def masked_giou_loss(
     return (loss * pair_mask).sum() / num_boxes
 
 
-def dice_loss(logits: jnp.ndarray, targets: jnp.ndarray, num_boxes: jnp.ndarray) -> jnp.ndarray:
-    """Dice loss for masks, (N, P) flattened (reference segmentation.py)."""
+def dice_loss(logits: jnp.ndarray, targets: jnp.ndarray, num_boxes: jnp.ndarray,
+              row_mask: jnp.ndarray = None) -> jnp.ndarray:
+    """Dice loss for masks, (N, P) flattened (reference segmentation.py).
+    row_mask (N,) zeroes padded rows before the sum."""
     probs = jax.nn.sigmoid(logits)
     numerator = 2 * (probs * targets).sum(-1)
     denominator = probs.sum(-1) + targets.sum(-1)
     loss = 1 - (numerator + 1) / (denominator + 1)
+    if row_mask is not None:
+        loss = loss * row_mask
     return loss.sum() / num_boxes
 
 
@@ -108,6 +112,7 @@ def sigmoid_focal_loss_masks(
     num_boxes: jnp.ndarray,
     alpha: float = 0.25,
     gamma: float = 2.0,
+    row_mask: jnp.ndarray = None,
 ) -> jnp.ndarray:
     """Plain focal loss for mask logits (reference segmentation.py flavor):
     mean over last dim, sum / num_boxes."""
@@ -118,4 +123,7 @@ def sigmoid_focal_loss_masks(
     if alpha >= 0:
         alpha_t = alpha * targets + (1 - alpha) * (1 - targets)
         loss = alpha_t * loss
-    return loss.mean(axis=1).sum() / num_boxes
+    loss = loss.mean(axis=1)
+    if row_mask is not None:
+        loss = loss * row_mask
+    return loss.sum() / num_boxes

@@ -30,7 +30,11 @@ def param_group(path) -> str:
 
 
 def make_optimizer(cfg: SPEConfig, steps_per_epoch: int, params: Any):
-    """3-group AdamW with StepLR(gamma=0.1 @ lr_drop epochs) + global clip."""
+    """3-group AdamW with StepLR(gamma=0.1 @ lr_drop epochs) + global clip.
+
+    With cfg.frozen_weights (segmentation-only training, reference
+    main.py:218-220 + DETRsegm freeze_detr), every param outside the
+    segmentation head is frozen via a zero transform."""
 
     def steplr(base_lr):
         def sched(step):
@@ -43,11 +47,16 @@ def make_optimizer(cfg: SPEConfig, steps_per_epoch: int, params: Any):
                            weight_decay=cfg.weight_decay,
                            b1=0.9, b2=0.999, eps=1e-8)
 
-    labels = jax.tree_util.tree_map_with_path(
-        lambda path, _: param_group(tuple(getattr(k, "key", k) for k in path)), params)
+    def group(path):
+        names = [str(getattr(k, "key", k)) for k in path]
+        if cfg.frozen_weights and not any("segm_head" == n for n in names):
+            return "frozen"
+        return param_group(tuple(getattr(k, "key", k) for k in path))
+
+    labels = jax.tree_util.tree_map_with_path(lambda path, _: group(path), params)
     tx = optax.multi_transform(
         {"body": adamw(cfg.lr), "backbone": adamw(cfg.lr_backbone),
-         "cls_head": adamw(cfg.lr_cls_head)},
+         "cls_head": adamw(cfg.lr_cls_head), "frozen": optax.set_to_zero()},
         labels)
     if cfg.clip_max_norm > 0:
         tx = optax.chain(optax.clip_by_global_norm(cfg.clip_max_norm), tx)

@@ -111,6 +111,24 @@ def compute_losses(model, params, batch, rng, cfg: SPEConfig, gates: Gates,
         for name, v in ref_losses.items():
             losses[f"ref_{k}_{name}"] = v
 
+    # ---- instance-mask losses (--masks training on a dataset providing
+    # GT masks, e.g. coco_panoptic; reference loss_masks,
+    # conditional_detr.py:321-350 — final decoder layer only, :451-452) ----
+    if "pred_masks" in out and "gt_masks" in batch:
+        from spe_tpu.train.criterion import mask_losses, match
+
+        gt_t = {"boxes": batch["gt_boxes"],
+                "labels": batch["gt_labels"].astype(jnp.int32),
+                "mask": batch["gt_mask"]}
+        row = match(stages[0]["pred_logits"], stages[0]["pred_boxes"], gt_t,
+                    method=cfg.assignment, cost_class=cfg.set_cost_class,
+                    cost_bbox=cfg.set_cost_bbox, cost_giou=cfg.set_cost_giou)
+        nb_m = jnp.maximum(batch["gt_mask"].astype(jnp.float32).sum(),
+                           float(num_devices))
+        losses.update(mask_losses(
+            out["pred_masks"], batch["gt_masks"], row, batch["gt_mask"], nb_m,
+            focal_alpha=cfg.focal_alpha, focal_gamma=cfg.focal_gamma))
+
     # ---- weighted total with epoch gates (engine.py:134-144) ----
     base_w = {"loss_ce": cfg.cls_loss_coef, "loss_bbox": cfg.bbox_loss_coef,
               "loss_giou": cfg.giou_loss_coef}
@@ -121,6 +139,8 @@ def compute_losses(model, params, batch, rng, cfg: SPEConfig, gates: Gates,
             weight[f"{name}_{i}"] = coef
     weight["img_label_logits"] = cfg.img_label_loss_coef
     weight["img_label_logits_tokens"] = cfg.img_label_tokens_loss_coef
+    weight["loss_mask"] = cfg.mask_loss_coef
+    weight["loss_dice"] = cfg.dice_loss_coef
 
     total = jnp.float32(0.0)
     for name, v in losses.items():
