@@ -85,7 +85,6 @@ def ring_kv_attention(q: jnp.ndarray, k_local: jnp.ndarray,
     memory). Online (m, l, o) rescaling like flash attention.
     """
     n = jax.lax.axis_size(axis_name)
-    idx = jax.lax.axis_index(axis_name)
     dtype = q.dtype
     qf = q.astype(jnp.float32) * (q.shape[-1] ** -0.5)
     B, H, Nq, _ = q.shape
@@ -101,7 +100,7 @@ def ring_kv_attention(q: jnp.ndarray, k_local: jnp.ndarray,
         return m_b, jnp.sum(e, axis=-1, keepdims=True), \
             jnp.einsum("bhqk,bhkd->bhqd", e, v_blk.astype(jnp.float32))
 
-    def body(i, carry):
+    def body(carry):
         m, l, o, k_cur, v_cur, mask_cur = carry
         m_b, l_b, o_b = block(k_cur, v_cur, mask_cur)
         m_new = jnp.maximum(m, m_b)
@@ -120,9 +119,9 @@ def ring_kv_attention(q: jnp.ndarray, k_local: jnp.ndarray,
     o0 = jnp.zeros((B, H, Nq, v_local.shape[-1]), jnp.float32)
     carry = (m0, l0, o0, k_local, v_local, key_padding_mask_local)
     # python loop (n is static = mesh axis size): each step's ppermute
-    # overlaps the next block's compute under XLA latency hiding
-    for i in range(n):
-        carry = body(i, carry)
+    # overlaps the next block's compute under XLA latency hiding; the
+    # (m, l, o) merge is commutative so rotation order doesn't matter
+    for _ in range(n):
+        carry = body(carry)
     m, l, o = carry[:3]
-    del idx  # ordering is rotation-invariant: (m, l, o) merge is commutative
     return (o / jnp.maximum(l, 1e-30)).astype(dtype)
