@@ -74,7 +74,7 @@ def main():
     cam_fn = jax.jit(lambda c, il: cam_pseudo_boxes(
         c, il, jnp.float32(0.1), area_ratio=cfg.multi_box_ratio,
         size=cfg.cam_cc_size, k=cfg.max_cam_boxes_per_class,
-        max_boxes=cfg.max_gt_boxes))
+        max_boxes=cfg.max_gt_boxes, max_pos=cfg.max_pos_classes))
     add("cam->pseudo boxes", bench(cam_fn, cams, batch["img_label"], iters=8))
 
     loss_fn = jax.jit(lambda p, b, k, g: compute_losses(

@@ -41,16 +41,22 @@ def _iou_cxcywh(a, b):
 
 
 def run_convergence(use_pallas: bool = False, dropout: float = 0.0,
-                    epochs: int = EPOCHS) -> dict:
+                    epochs: int = EPOCHS, num_refines: int = 0,
+                    refine_start_epoch: int = 1000) -> dict:
     """Train the tiny recipe and return the chain milestones:
-    {bce, iou_start, iou_end, ap50, bad_steps}."""
+    {bce, iou_start, iou_end, ap50, bad_steps} (+ ap50_refine when
+    num_refines > 0: the self-refinement stage's AP50, exercising the
+    PostProcessRefine -> SetCriterionRefine chain end-to-end in training,
+    reference engine.py:271-308 + conditional_detr.py:497-589)."""
     cfg = SPEConfig(
         backbone="TSCAM_cait_tiny", num_classes=4, layer_to_det=2,
         num_queries=12, enc_layers=1, dec_layers=2, dim_feedforward=64,
-        nheads=2, num_refines=0, max_gt_boxes=6, max_cam_boxes_per_class=2,
+        nheads=2, num_refines=num_refines, max_gt_boxes=6,
+        max_cam_boxes_per_class=2,
         cam_cc_size=16, hung_match_ratio=3, compute_dtype="float32",
         dropout=dropout, drop_path_rate=0.0, lr=1e-3, lr_backbone=1e-3,
-        lr_cls_head=1e-3, warmup_cls_epochs=2, refine_start_epoch=1000,
+        lr_cls_head=1e-3, warmup_cls_epochs=2,
+        refine_start_epoch=refine_start_epoch,
         cam_thr=0.2, batch_size=8, fixed_size=True, max_size=64,
         dataset_file="synthetic", use_pallas_attention=use_pallas,
         drop_attn_rate=dropout)
@@ -119,10 +125,17 @@ def run_convergence(use_pallas: bool = False, dropout: float = 0.0,
     iou_end = pseudo_quality(state.params)
     stats = engine.evaluate_coco(model, state.params, loader_eval, ds.coco_gt(),
                                  cfg, refine_stage=0, use_aux_layer=False)
-    return {
+    out = {
         "bad_steps": int(metrics["bad_steps"]),
         "bce": float(metrics["img_label_logits"]),
         "iou_start": iou_start,
         "iou_end": iou_end,
         "ap50": float(stats["AP50"]),
     }
+    if num_refines > 0:
+        stats_r = engine.evaluate_coco(model, state.params, loader_eval,
+                                       ds.coco_gt(), cfg,
+                                       refine_stage=num_refines,
+                                       use_aux_layer=False)
+        out["ap50_refine"] = float(stats_r["AP50"])
+    return out
