@@ -49,14 +49,13 @@ def _auction_phase(benefit, person_mask, price, eps, max_iters):
 
         values = benefit - price[None, :]  # (T, Q)
         top1_idx = jnp.argmax(values, axis=1)
-        top1_val = jnp.take_along_axis(values, top1_idx[:, None], axis=1)[:, 0]
-        masked = values.at[jnp.arange(T), top1_idx].set(_NEG_INF)
-        top2_val = jnp.max(masked, axis=1)
-        # total bid for the best object: benefit - second_value + eps
-        bid = jnp.take_along_axis(benefit, top1_idx[:, None], axis=1)[:, 0] - top2_val + eps
-
-        # dense bid matrix: person i bids on object top1_idx[i] iff unassigned
+        # one-hot of the winner doubles as the top-2 mask: a scatter here
+        # would run once PER auction iteration (TPU scatters are ~3x a
+        # masked where, profiled in the train-step while loop)
         onehot = jax.nn.one_hot(top1_idx, Q, dtype=jnp.bool_)
+        top2_val = jnp.max(jnp.where(onehot, _NEG_INF, values), axis=1)
+        # total bid for the best object: benefit - second_value + eps
+        bid = jnp.max(jnp.where(onehot, benefit, _NEG_INF), axis=1) - top2_val + eps
         bids = jnp.where(unassigned[:, None] & onehot, bid[:, None], _NEG_INF)
         best_bid = jnp.max(bids, axis=0)          # (Q,)
         best_person = jnp.argmax(bids, axis=0).astype(jnp.int32)

