@@ -28,7 +28,7 @@ from spe_tpu.config import SPEConfig
 from spe_tpu.ops.cam_boxes import cam_pseudo_boxes
 from spe_tpu.ops.postprocess import postprocess_refine
 from spe_tpu.train.criterion import (image_label_losses, repeated_num_boxes,
-                                     set_criterion)
+                                     set_criterion_multi)
 
 
 class TrainState(NamedTuple):
@@ -97,18 +97,21 @@ def compute_losses(model, params, batch, rng, cfg: SPEConfig, gates: Gates,
                    cost_giou=cfg.set_cost_giou, assignment=cfg.assignment,
                    training=not deterministic)
 
-    nb0 = jnp.maximum(repeated_num_boxes(cam_targets, cfg.hung_match_ratio),
-                      float(num_devices))
-    losses.update(set_criterion(stages[0], cam_targets, rng_jit0, nb0, **crit_kw))
+    # all stages' matchings run as ONE batched solver call (identical math
+    # to per-stage set_criterion; see set_criterion_multi)
+    stage_list = [stages[0]] + [stages[k] for k in refine_targets]
+    tgt_list = [cam_targets] + list(refine_targets.values())
+    rng_list = [rng_jit0] + [jax.random.fold_in(rng_jitr, k)
+                             for k in refine_targets]
+    nb_list = [jnp.maximum(repeated_num_boxes(t, cfg.hung_match_ratio),
+                           float(num_devices)) for t in tgt_list]
+    flags = [False] + [True] * len(refine_targets)
+    stage_losses = set_criterion_multi(stage_list, tgt_list, rng_list,
+                                       nb_list, flags, **crit_kw)
+    losses.update(stage_losses[0])
     losses.update(image_label_losses(backbone_out, batch["img_label"]))
-
-    for k, tgt in refine_targets.items():
-        nbk = jnp.maximum(repeated_num_boxes(tgt, cfg.hung_match_ratio),
-                          float(num_devices))
-        rk = jax.random.fold_in(rng_jitr, k)
-        ref_losses = set_criterion(stages[k], tgt, rk, nbk,
-                                   refine_weights=True, **crit_kw)
-        for name, v in ref_losses.items():
+    for (k, _), sl in zip(refine_targets.items(), stage_losses[1:]):
+        for name, v in sl.items():
             losses[f"ref_{k}_{name}"] = v
 
     # ---- instance-mask losses (--masks training on a dataset providing

@@ -182,3 +182,42 @@ def test_criterion_grads_finite(rng):
     g = jax.grad(lambda o: loss_fn(o))(outputs)
     for leaf in jax.tree_util.tree_leaves(g):
         assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_multi_stage_matches_per_stage(rng):
+    """set_criterion_multi (one batched solver call) must be numerically
+    identical to calling set_criterion per stage with the same rngs."""
+    import jax
+
+    from spe_tpu.train.criterion import set_criterion, set_criterion_multi
+
+    B, Q, K, T, L = 2, 10, 5, 4, 3
+    mk = lambda *s: jnp.asarray(rng.normal(size=s).astype(np.float32))
+    stages = []
+    for _ in range(2):
+        stages.append({
+            "pred_logits": mk(B, Q, K), "pred_boxes": jax.nn.sigmoid(mk(B, Q, 4)),
+            "aux_pred_logits": mk(L - 1, B, Q, K),
+            "aux_pred_boxes": jax.nn.sigmoid(mk(L - 1, B, Q, 4)),
+        })
+    tgts = []
+    for _ in range(2):
+        tgts.append({
+            "boxes": jnp.clip(jax.nn.sigmoid(mk(B, T, 4)), 0.05, 0.9),
+            "labels": jnp.asarray(rng.integers(0, K, (B, T)), jnp.int32),
+            "mask": jnp.asarray(rng.uniform(size=(B, T)) > 0.3),
+            "scores": jnp.asarray(rng.uniform(size=(B, T)).astype(np.float32)),
+        })
+    rngs = [jax.random.PRNGKey(3), jax.random.PRNGKey(7)]
+    nbs = [jnp.float32(5.0), jnp.float32(4.0)]
+
+    multi = set_criterion_multi(stages, tgts, rngs, nbs, [False, True],
+                                hung_match_ratio=3)
+    for s, flag in enumerate([False, True]):
+        single = set_criterion(stages[s], tgts[s], rngs[s], nbs[s],
+                               hung_match_ratio=3, refine_weights=flag)
+        assert set(single) == set(multi[s])
+        for k in single:
+            np.testing.assert_allclose(np.asarray(multi[s][k]),
+                                       np.asarray(single[k]), rtol=1e-6,
+                                       atol=1e-6, err_msg=k)
