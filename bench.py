@@ -39,6 +39,11 @@ BATCH = int(os.environ.get("SPE_BENCH_BATCH", "8"))
 IMG = 512
 WARM_STEPS = 2
 MEASURE_STEPS = 8
+# median-of-N repeat groups: the axon tunnel is ±10% noisy, a single group
+# cannot rank optimization-ladder rows (VERDICT r2) — the JSON carries the
+# per-group rates so the spread is visible
+REPEAT_GROUPS = int(os.environ.get("SPE_BENCH_REPEATS", "3"))
+EVAL_BATCH = int(os.environ.get("SPE_BENCH_EVAL_BATCH", "8"))
 
 
 def main():
@@ -88,14 +93,21 @@ def main():
     # force full sync (block_until_ready does not wait through the tunnel)
     _ = float(metrics["loss"])
 
-    t0 = time.time()
-    for i in range(MEASURE_STEPS):
-        state, metrics = step(state, batch, jax.random.fold_in(key, 100 + i), gates)
-    loss = float(metrics["loss"])  # sync
-    dt = (time.time() - t0) / MEASURE_STEPS
+    rates = []
+    for g in range(REPEAT_GROUPS):
+        t0 = time.time()
+        for i in range(MEASURE_STEPS):
+            state, metrics = step(state, batch,
+                                  jax.random.fold_in(key, 100 + g * 1000 + i),
+                                  gates)
+        loss = float(metrics["loss"])  # sync
+        dt = (time.time() - t0) / MEASURE_STEPS
+        assert jnp.isfinite(loss), f"non-finite loss {loss}"
+        rates.append(BATCH / dt / n_dev)
+    imgs_per_sec_per_chip = float(np.median(rates))
 
-    assert jnp.isfinite(loss), f"non-finite loss {loss}"
-    imgs_per_sec_per_chip = BATCH / dt / n_dev
+    eval_rate = bench_eval(cfg, model, state.params, n_dev)
+
     lo, hi = REF_RANGE_IMG_PER_SEC
     print(json.dumps({
         "metric": "train_images_per_sec_per_chip",
@@ -105,7 +117,58 @@ def main():
         # bounds of the baseline estimate (see module docstring)
         "vs_baseline_range": [round(imgs_per_sec_per_chip / hi, 3),
                               round(imgs_per_sec_per_chip / lo, 3)],
+        # per-group spread (median-of-N protocol; tunnel noise is visible)
+        "repeat_rates": [round(r, 3) for r in rates],
+        # secondary metric: the VOC flip-TTA eval path (forward + top-300
+        # postprocess + NMS), images/sec/chip
+        "eval_images_per_sec_per_chip": round(eval_rate, 3),
     }))
+
+
+def bench_eval(cfg, model, params, n_dev):
+    """Eval-path throughput: flip-TTA forward + top-300 postprocess + NMS
+    (the reference evaluate_det_voc pipeline, engine_loc.py:127-201)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from spe_tpu.ops.nms import batched_nms
+    from spe_tpu.ops.postprocess import postprocess_topk
+    from spe_tpu.train.engine import _eval_outputs, _flip_merge
+
+    B = EVAL_BATCH
+
+    @jax.jit
+    def infer(params, images, pad_mask, sizes):
+        cat = {"images": jnp.concatenate([images, images[:, :, ::-1, :]], 0),
+               "pad_mask": jnp.concatenate([pad_mask, pad_mask[:, :, ::-1]], 0)}
+        outs2, full2 = _eval_outputs(model, params, cat, refine_stage=0,
+                                     use_aux_layer=False)
+        outs = _flip_merge({k: v[:B] for k, v in outs2.items()},
+                           {k: v[B:] for k, v in outs2.items()},
+                           {k: v[:B] for k, v in full2["backbone"].items()},
+                           {k: v[B:] for k, v in full2["backbone"].items()})
+        res = postprocess_topk(outs["pred_logits"], outs["pred_boxes"],
+                               sizes.astype(jnp.float32), keep_queries=300)
+        keep = batched_nms(res["boxes"], res["scores"], res["labels"],
+                           jnp.ones_like(res["scores"], bool), 0.5)
+        return res["scores"], keep
+
+    rng = np.random.default_rng(1)
+    images = jnp.array(rng.normal(size=(B, IMG, IMG, 3)).astype(np.float32))
+    pad_mask = jnp.zeros((B, IMG, IMG), bool)
+    sizes = jnp.full((B, 2), IMG, jnp.int64)
+
+    scores, keep = infer(params, images, pad_mask, sizes)
+    _ = np.asarray(scores)  # sync after compile
+    rates = []
+    for _ in range(max(REPEAT_GROUPS, 2)):
+        t0 = time.time()
+        for _ in range(4):
+            scores, keep = infer(params, images, pad_mask, sizes)
+        _ = np.asarray(scores), np.asarray(keep)
+        rates.append(B * 4 / (time.time() - t0) / n_dev)
+    return float(np.median(rates))
 
 
 if __name__ == "__main__":

@@ -32,16 +32,20 @@ def main(argv=None):
     from spe_tpu.data.build import build_dataset
     from spe_tpu.data.loader import DataLoader
     from spe_tpu.models.build import build_model
-    from spe_tpu.parallel.mesh import make_mesh, replicated
+    from spe_tpu.parallel.mesh import init_distributed, make_mesh, replicated
     from spe_tpu.train import engine
     from spe_tpu.train.checkpoint import restore_checkpoint, save_checkpoint
     from spe_tpu.train.optim import make_optimizer
     from spe_tpu.train.train_step import Gates, TrainState, make_train_step
     from spe_tpu.utils.misc import get_sha, setup_for_distributed
 
+    # config first (pure python), then the process group BEFORE any other
+    # JAX backend use (reference calls init_distributed_mode first thing,
+    # main.py:151 / util/misc.py:414-436)
+    cfg = config_from_args(argv)
+    init_distributed(cfg.world_size, cfg.dist_url)
     setup_for_distributed(jax.process_index() == 0)  # util/misc.py:370-382
     print(f"git:\n  {get_sha()}\n")  # reference main.py:152
-    cfg = config_from_args(argv)
     print(cfg)
 
     rng = jax.random.PRNGKey(cfg.seed + jax.process_index())
@@ -54,15 +58,26 @@ def main(argv=None):
     ds_train = build_dataset("train", cfg.dataset_file, cfg)
     ds_val = build_dataset("val", cfg.dataset_eval, cfg)
     fixed = cfg.max_size if cfg.fixed_size else None
-    loader_train = DataLoader(ds_train, cfg.batch_size, cfg.num_classes,
+    # reference --batch_size is PER DEVICE (scripts/run_voc0712.py launches
+    # 8 processes x batch 1); one host process here drives all its local
+    # devices, so the process-local batch is batch_size x local devices
+    local_bs = cfg.batch_size * jax.local_device_count()
+    loader_train = DataLoader(ds_train, local_bs, cfg.num_classes,
                               fixed_size=fixed, seed=cfg.seed,
                               process_index=jax.process_index(),
                               process_count=jax.process_count(),
                               use_native=cfg.use_native_loader,
                               num_threads=cfg.num_workers,
                               bucket_quantum=0 if cfg.fixed_size else cfg.bucket_quantum)
-    loader_val = DataLoader(ds_val, cfg.batch_size, cfg.num_classes,
+    # COCO eval runs on ALL processes over a process-sharded val set and
+    # merges collectively (reference DistributedSampler + CocoEvaluator
+    # sync, engine.py:617-724); VOC eval runs whole on process 0 only
+    # (reference main.py:255-257), so its loader must NOT be sharded.
+    voc_eval = cfg.dataset_eval == "voc_voc"
+    loader_val = DataLoader(ds_val, local_bs, cfg.num_classes,
                             fixed_size=fixed, shuffle=False, drop_last=False,
+                            process_index=0 if voc_eval else jax.process_index(),
+                            process_count=1 if voc_eval else jax.process_count(),
                             use_native=cfg.use_native_loader, train=False,
                             num_threads=cfg.num_workers,
                             max_gt=cfg.max_gt_boxes,
@@ -81,10 +96,14 @@ def main(argv=None):
         # finetune_det, cait.py:1676-1700/728-742)
         from spe_tpu.models.convert import (convert_backbone,
                                             load_torch_checkpoint,
-                                            merge_pretrained_backbone)
+                                            merge_pretrained_backbone,
+                                            resolve_backbone_weights)
         from spe_tpu.train.checkpoint import resolve_resume
 
-        sd = load_torch_checkpoint(resolve_resume(cfg.backbone_weights))
+        # --backbone_weights auto -> the published fbaipublicfiles URL for
+        # this backbone (reference cait.py timm factories, :1676-1700)
+        src = resolve_backbone_weights(cfg.backbone_weights, cfg.backbone)
+        sd = load_torch_checkpoint(resolve_resume(src))
         bb_cfg = model.backbone_cfg
         converted = convert_backbone(sd, depth=bb_cfg.depth,
                                      layer_to_det=bb_cfg.layer_to_det,
@@ -125,7 +144,12 @@ def main(argv=None):
                       out_shardings=(rep, rep), donate_argnums=(0,))
 
     def run_eval(params, epoch: int = 0):
-        if cfg.dataset_eval == "voc_voc":
+        """COCO path: COLLECTIVE — every process must enter (the detection
+        merge all-gathers across processes, engine.merge_across_processes).
+        VOC path: process 0 only, whole val set (reference main.py:255-257)."""
+        if voc_eval:
+            if jax.process_index() != 0:
+                return {}
             stats = engine.evaluate_voc(model, params, loader_val, ds_val, cfg,
                                         with_flip=cfg.eval)
             print(f"VOC mAP: {stats['mAP']:.4f}  CorLoc: {stats['CorLoc']:.4f}")
@@ -150,8 +174,18 @@ def main(argv=None):
                 stats.update({f"stage{stage}_{k}": v for k, v in s.items()})
         return stats
 
+    def sync_end():
+        # align process exits: otherwise fast ranks sit in the 5-minute
+        # jax.distributed shutdown barrier while rank 0 writes checkpoints,
+        # and the barrier can expire (observed in the 2-process test)
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices("spe:end_of_run")
+
     if cfg.eval:
         stats = run_eval(state.params)
+        sync_end()
         return stats
 
     output_dir = Path(cfg.output_dir) if cfg.output_dir else None
@@ -167,22 +201,24 @@ def main(argv=None):
             step_fn, state, loader_train, epoch, cfg, gates,
             jax.random.fold_in(rng, epoch), mesh=mesh)
 
-        if jax.process_index() == 0:
-            eval_stats = run_eval(state.params, epoch)
-            if output_dir:
-                save_checkpoint(output_dir / "checkpoint", state, epoch, cfg)
-                save_checkpoint(output_dir / f"checkpoint{epoch:04d}", state, epoch, cfg)
-                key = "AP50" if "AP50" in eval_stats else "mAP"
-                if eval_stats.get(key, -1) > best_val:
-                    best_val = eval_stats[key]
-                    save_checkpoint(output_dir / "checkpoint_best", state, epoch, cfg)
-                log = {**{f"train_{k}": v for k, v in train_stats.items()},
-                       **{f"test_{k}": v for k, v in eval_stats.items()
-                          if isinstance(v, (int, float))},
-                       "epoch": epoch, "n_parameters": int(n_params)}
-                with (output_dir / "log.txt").open("a") as f:
-                    f.write(json.dumps(log) + "\n")
+        # run_eval is collective on the COCO path — every process enters;
+        # only process 0 saves checkpoints and writes the JSON log
+        eval_stats = run_eval(state.params, epoch)
+        if jax.process_index() == 0 and output_dir:
+            save_checkpoint(output_dir / "checkpoint", state, epoch, cfg)
+            save_checkpoint(output_dir / f"checkpoint{epoch:04d}", state, epoch, cfg)
+            key = "AP50" if "AP50" in eval_stats else "mAP"
+            if eval_stats.get(key, -1) > best_val:
+                best_val = eval_stats[key]
+                save_checkpoint(output_dir / "checkpoint_best", state, epoch, cfg)
+            log = {**{f"train_{k}": v for k, v in train_stats.items()},
+                   **{f"test_{k}": v for k, v in eval_stats.items()
+                      if isinstance(v, (int, float))},
+                   "epoch": epoch, "n_parameters": int(n_params)}
+            with (output_dir / "log.txt").open("a") as f:
+                f.write(json.dumps(log) + "\n")
     print(f"Training time {time.time() - t_start:.0f}s")
+    sync_end()
     return state
 
 

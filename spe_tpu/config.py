@@ -119,8 +119,8 @@ class SPEConfig:
     # positive-class budget for the CAM->boxes pipeline: the expensive
     # connected-components work runs on this many gathered channels instead
     # of all num_classes (exact for images with <= max_pos_classes positive
-    # labels; beyond that, lowest class indices win — the same truncation
-    # the max_gt_boxes packing applies)
+    # labels; beyond that, the channels with the strongest CAM evidence
+    # win — see ops/cam_boxes.py; coco17 preset raises this to 16)
     max_pos_classes: int = 8
     cam_cc_size: int = 64             # CAM is resized to this grid for connected components
     # mesh
@@ -254,6 +254,8 @@ def coco17_preset(**overrides) -> SPEConfig:
         warmup_cls_epochs=1,   # engine.py:573-581 (COCO path gates at epoch 1)
         refine_start_epoch=1,
         max_gt_boxes=48,       # COCO images carry more categories
+        max_pos_classes=16,    # COCO images can carry >8 categories; keep
+                               # CAM budget truncation rare (ops/cam_boxes.py)
         use_pallas_attention=True,  # parity: scripts_dev/convergence_tpu.py
     )
     return cfg.replace(**overrides)

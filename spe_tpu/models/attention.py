@@ -217,6 +217,14 @@ class MultiheadAttention(nn.Module):
         if self.kv_shard_axis is not None:
             from spe_tpu.ops.seq_parallel import kv_sharded_attention
 
+            # the sharded-KV path applies no attention dropout (the merged
+            # softmax spans chips; a per-chip mask would change semantics).
+            # Refuse rather than silently alter the training recipe.
+            if self.dropout > 0.0 and not deterministic:
+                raise ValueError(
+                    "kv_shard_axis does not support attention dropout "
+                    f"(dropout={self.dropout}); set dropout=0 for "
+                    "sequence-parallel training")
             out = kv_sharded_attention(
                 _split_heads(q, self.num_heads), _split_heads(k, self.num_heads),
                 _split_heads(v, self.num_heads), axis_name=self.kv_shard_axis,

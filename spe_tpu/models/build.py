@@ -32,6 +32,7 @@ def build_model(cfg: SPEConfig) -> SPEDetector:
         nheads=cfg.nheads,
         dropout=cfg.dropout,
         pre_norm=cfg.pre_norm,
+        position_embedding=cfg.position_embedding,
         use_pallas=cfg.use_pallas_attention,
         masks=cfg.masks,
         dtype=dtype,

@@ -273,3 +273,37 @@ def merge_pretrained_backbone(init_backbone: Dict, converted: Dict,
         print(f"pretrained backbone: copied {copied}/{len(flat_init)} leaves"
               + (f", skipped shape-mismatched {skipped}" if skipped else ""))
     return flax.traverse_util.unflatten_dict(merged)
+
+
+# ---------------------------------------------------------------------------
+# Known pretrained-checkpoint URLs (reference models/cait.py:1335-1948: each
+# timm factory downloads its DeiT/CaiT classification checkpoint from
+# fbaipublicfiles). `--backbone_weights auto` resolves through this table so
+# an environment with egress needs zero manual steps.
+# ---------------------------------------------------------------------------
+
+PRETRAINED_URLS = {
+    # two-branch factories init from the same classification checkpoints
+    # (the det branch is then cloned from the tail blocks, cait.py:724-726)
+    "TSCAM_cait_XXS24_Two_Branch": "https://dl.fbaipublicfiles.com/deit/XXS24_384.pth",
+    "TSCAM_cait_XXS36_Two_Branch": "https://dl.fbaipublicfiles.com/deit/XXS36_384.pth",
+    "TSCAM_cait_XS24_Two_Branch": "https://dl.fbaipublicfiles.com/deit/XS24_384.pth",
+    "TSCAM_cait_S24_Two_Branch": "https://dl.fbaipublicfiles.com/deit/S24_384.pth",
+    "TSCAM_cait_S36_Two_Branch": "https://dl.fbaipublicfiles.com/deit/S36_384.pth",
+    "TSCAM_cait_M36_Two_Branch": "https://dl.fbaipublicfiles.com/deit/M36_384.pth",
+    "TSCAM_cait_M48_Two_Branch": "https://dl.fbaipublicfiles.com/deit/M48_448.pth",
+    "TSCAM_cait_XXS24": "https://dl.fbaipublicfiles.com/deit/XXS24_384.pth",
+    "TSCAM_cait_XXS36": "https://dl.fbaipublicfiles.com/deit/XXS36_384.pth",
+    "TSCAM_cait_XXS24_224": "https://dl.fbaipublicfiles.com/deit/XXS24_224.pth",
+}
+
+
+def resolve_backbone_weights(backbone_weights: str, backbone: str) -> str:
+    """'auto' -> the published URL for `backbone`; anything else unchanged."""
+    if backbone_weights != "auto":
+        return backbone_weights
+    if backbone not in PRETRAINED_URLS:
+        raise KeyError(
+            f"no known pretrained checkpoint for backbone '{backbone}'; "
+            f"have {sorted(PRETRAINED_URLS)} — pass an explicit path/URL")
+    return PRETRAINED_URLS[backbone]

@@ -34,6 +34,9 @@ class SPEDetector(nn.Module):
     nheads: int = 8
     dropout: float = 0.1
     pre_norm: bool = False  # pre-norm encoder (reference --pre_norm)
+    # --position_embedding: 'sine'/'v2' or 'learned'/'v3' (reference
+    # models/position_encoding.py:88-97 build_position_encoding dispatch)
+    position_embedding: str = "sine"
     use_pallas: bool = False  # fused attention kernels in encoder/cross-attn
     masks: bool = False   # attach the segmentation head (reference DETRsegm)
     dtype: jnp.dtype = jnp.float32
@@ -59,8 +62,18 @@ class SPEDetector(nn.Module):
         else:
             grid_mask = jnp.zeros((B, gh, gw), bool)
 
-        pos = position_embedding_sine(grid_mask, num_pos_feats=d_model // 2,
-                                      normalize=True)  # (B, gh, gw, D)
+        if self.position_embedding in ("v3", "learned"):
+            from spe_tpu.models.position_encoding import PositionEmbeddingLearned
+
+            pos = PositionEmbeddingLearned(num_pos_feats=d_model // 2,
+                                           name="pos_embed_learned")(
+                (B, gh, gw))  # (B, gh, gw, D)
+        elif self.position_embedding in ("v2", "sine"):
+            pos = position_embedding_sine(grid_mask, num_pos_feats=d_model // 2,
+                                          normalize=True)  # (B, gh, gw, D)
+        else:
+            raise ValueError(
+                f"not supported {self.position_embedding}")  # :97
 
         src = feat.reshape(B, gh * gw, d_model)
         pos = pos.reshape(B, gh * gw, d_model).astype(src.dtype)

@@ -89,12 +89,21 @@ class ConditionalDecoderLayer(nn.Module):
 
     use_pallas fuses the CROSS-attention (300 queries x ~1024 keys at
     2*d_model); the 300x300 self-attention stays on the einsum path —
-    it is too small for a kernel round trip to pay off."""
+    it is too small for a kernel round trip to pay off.
+
+    num_sets > 1: tgt/query_pos/query_sine_embed carry `num_sets` stacked
+    independent query sets along the query axis (B, S*Q, D) — the base +
+    refinement decoder passes batched into ONE call (they share encoder
+    memory; the reference loops instead, transformer.py:147-155, but a jit
+    program needn't). Self-attention folds the set dim into the batch so
+    sets never attend to each other; cross-attention and all elementwise
+    ops are per-query and need no masking. Identical math to looping."""
 
     num_heads: int
     dim_feedforward: int
     dropout: float = 0.1
     use_pallas: bool = False
+    num_sets: int = 1
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -109,8 +118,19 @@ class ConditionalDecoderLayer(nn.Module):
         k = (nn.Dense(D, dtype=self.dtype, name="sa_kcontent_proj")(tgt)
              + nn.Dense(D, dtype=self.dtype, name="sa_kpos_proj")(query_pos))
         v = nn.Dense(D, dtype=self.dtype, name="sa_v_proj")(tgt)
-        h = ProjectionFreeAttention(nh, dropout=self.dropout, dtype=self.dtype,
-                                    name="self_attn")(q, k, v, deterministic=deterministic)
+        if self.num_sets > 1:
+            # (B, S*Q, D) -> (B*S, Q, D): each set self-attends in isolation
+            fold = lambda x: x.reshape(x.shape[0] * self.num_sets,
+                                       x.shape[1] // self.num_sets, D)
+            B0 = tgt.shape[0]
+            h = ProjectionFreeAttention(nh, dropout=self.dropout, dtype=self.dtype,
+                                        name="self_attn")(
+                fold(q), fold(k), fold(v), deterministic=deterministic)
+            h = h.reshape(B0, -1, D)
+        else:
+            h = ProjectionFreeAttention(nh, dropout=self.dropout, dtype=self.dtype,
+                                        name="self_attn")(q, k, v,
+                                                          deterministic=deterministic)
         tgt = tgt + nn.Dropout(self.dropout)(h, deterministic=deterministic)
         tgt = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(tgt)
 
@@ -162,6 +182,7 @@ class ConditionalDecoder(nn.Module):
     d_model: int
     dropout: float = 0.1
     use_pallas: bool = False
+    num_sets: int = 1  # stacked query sets along the query axis (see layer)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -186,7 +207,7 @@ class ConditionalDecoder(nn.Module):
             sine = sine.astype(output.dtype) * pos_transformation
             output = ConditionalDecoderLayer(
                 self.num_heads, self.dim_feedforward, dropout=self.dropout,
-                use_pallas=self.use_pallas,
+                use_pallas=self.use_pallas, num_sets=self.num_sets,
                 dtype=self.dtype, name=f"layers_{layer_id}")(
                 output, memory, pos, query_pos, sine,
                 is_first=(layer_id == 0), key_padding_mask=key_padding_mask,
@@ -236,11 +257,6 @@ class ConditionalTransformer(nn.Module):
             memory = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
                                   name="encoder_norm")(memory)
 
-        decoder = ConditionalDecoder(
-            self.num_decoder_layers, self.num_heads, self.dim_feedforward,
-            self.d_model, dropout=self.dropout, use_pallas=self.use_pallas,
-            dtype=self.dtype, name="decoder")
-
         query_embeds = [self.param("query_embed", nn.initializers.normal(1.0),
                                    (self.num_queries, self.d_model), jnp.float32)]
         for r in range(self.num_refines):
@@ -248,13 +264,27 @@ class ConditionalTransformer(nn.Module):
                 f"query_embed_refine_{r}", nn.initializers.normal(1.0),
                 (self.num_queries, self.d_model), jnp.float32))
 
-        hs_all, ref_all = [], []
-        for qe in query_embeds:
-            query_pos = jnp.broadcast_to(qe[None], (B,) + qe.shape).astype(src.dtype)
-            tgt = jnp.zeros_like(query_pos)
-            hs, refs = decoder(tgt, memory, pos_embed, query_pos,
-                               key_padding_mask=key_padding_mask,
-                               deterministic=deterministic)
-            hs_all.append(hs)
-            ref_all.append(refs)
+        # ONE decoder call over all query sets stacked along the query axis:
+        # the sets share encoder memory, so batching them halves kernel
+        # launches and computes the per-layer memory projections
+        # (ca_kcontent/ca_v/ca_kpos) once instead of once per set. The
+        # reference loops the decoder per set (transformer.py:147-155); the
+        # math is identical (see ConditionalDecoderLayer.num_sets).
+        S = len(query_embeds)
+        decoder = ConditionalDecoder(
+            self.num_decoder_layers, self.num_heads, self.dim_feedforward,
+            self.d_model, dropout=self.dropout, use_pallas=self.use_pallas,
+            num_sets=S, dtype=self.dtype, name="decoder")
+
+        qe_all = jnp.concatenate(query_embeds, axis=0)  # (S*Q, D)
+        query_pos = jnp.broadcast_to(qe_all[None], (B,) + qe_all.shape).astype(src.dtype)
+        tgt = jnp.zeros_like(query_pos)
+        hs, refs = decoder(tgt, memory, pos_embed, query_pos,
+                           key_padding_mask=key_padding_mask,
+                           deterministic=deterministic)
+        # split back into the per-set contract: hs (L, B, S*Q, D) -> S x
+        # (L, B, Q, D); refs (B, S*Q, 2) -> S x (B, Q, 2)
+        Q = self.num_queries
+        hs_all = [hs[:, :, s * Q:(s + 1) * Q, :] for s in range(S)]
+        ref_all = [refs[:, s * Q:(s + 1) * Q, :] for s in range(S)]
         return hs_all, ref_all

@@ -31,17 +31,26 @@ _NEG_INF = -1e30
 def _auction_phase(benefit, person_mask, price, eps, max_iters):
     """One auction phase at fixed eps. Persons = rows, objects = cols.
 
-    Returns (price, owner, assigned):
+    Returns (price, owner, assigned, iters_used):
       owner: (Q,) person index owning each object, -1 if none
       assigned: (T,) object index assigned to each person, -1 if none
+      iters_used: (scalar int32) while-loop iterations consumed
+
+    Termination: normally when every valid person holds an object. If the
+    problem is structurally overfull (more valid persons than objects —
+    outside the T<=Q contract but reachable from tests/misuse), the loop
+    would otherwise cycle to max_iters (outbid persons re-enter the pool
+    forever); stop as soon as only the unassignable excess remains.
     """
     T, Q = benefit.shape
     owner0 = jnp.full((Q,), -1, dtype=jnp.int32)
     assigned0 = jnp.where(person_mask, -1, -2).astype(jnp.int32)  # -2: never bids
+    n_over = jnp.maximum(jnp.sum(person_mask.astype(jnp.int32)) - Q, 0)
 
     def cond(state):
         _, _, assigned, it = state
-        return jnp.any(assigned == -1) & (it < max_iters)
+        return (jnp.sum((assigned == -1).astype(jnp.int32)) > n_over) & (
+            it < max_iters)
 
     def body(state):
         price, owner, assigned, it = state
@@ -72,9 +81,9 @@ def _auction_phase(benefit, person_mask, price, eps, max_iters):
         price = jnp.where(won, best_bid, price)
         return price, owner, assigned, it + 1
 
-    price, owner, assigned, _ = jax.lax.while_loop(
+    price, owner, assigned, iters = jax.lax.while_loop(
         cond, body, (price, owner0, assigned0, jnp.int32(0)))
-    return price, owner, assigned
+    return price, owner, assigned, iters
 
 
 def _cleanup_unassigned(assigned: jnp.ndarray, Q: int) -> jnp.ndarray:
@@ -132,6 +141,32 @@ def auction_assignment(
         (unique across all columns; arbitrary but in-range for padded).
       col_mask: passed through for convenience.
     """
+    row_for_col, col_mask, _ = auction_assignment_stats(
+        cost, col_mask, eps=eps, max_iters=max_iters)
+    return row_for_col, col_mask
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "max_iters"))
+def auction_assignment_stats(
+    cost: jnp.ndarray,
+    col_mask: jnp.ndarray,
+    eps: float = 2e-3,
+    max_iters: int = 5000,
+) -> Tuple[jnp.ndarray, jnp.ndarray, dict]:
+    """auction_assignment + solver-health stats for train-time observability
+    (the reference's scipy solve is exact by construction, matcher.py:83-86;
+    the auction's bound holds only while phases converge, so drift on real
+    cost surfaces must be visible in the training log):
+
+      stats['iters']   — auction iterations consumed (hitting max_iters
+                         means the eps-CS bound claim is void for that solve)
+      stats['cleanup'] — valid persons left unassigned when the phase
+                         stopped, i.e. _cleanup_unassigned activations on
+                         REAL columns (0 in healthy runs)
+
+    When the stats are unused, XLA dead-code-eliminates them — plain
+    auction_assignment routes through here at zero extra cost.
+    """
     Q, T = cost.shape
     cost = cost.astype(jnp.float32)
     # persons = targets, objects = queries; maximize benefit = -cost
@@ -148,8 +183,14 @@ def auction_assignment(
     price = jnp.zeros((Q,), dtype=jnp.float32)
     # padded persons never bid (they'd only inflate prices of free objects);
     # _cleanup_unassigned hands them leftover objects deterministically.
-    price, _, assigned = _auction_phase(benefit, col_mask, price, eps, max_iters)
-    return _cleanup_unassigned(assigned, Q), col_mask
+    price, _, assigned, iters = _auction_phase(benefit, col_mask, price, eps,
+                                               max_iters)
+    # structural overflow (valid persons beyond Q, outside the T<=Q
+    # contract) is not a solver-health failure; count only the excess
+    n_over = jnp.maximum(jnp.sum(col_mask.astype(jnp.int32)) - Q, 0)
+    cleanup = jnp.maximum(jnp.sum((assigned == -1).astype(jnp.int32)) - n_over, 0)
+    stats = {"iters": iters, "cleanup": cleanup}
+    return _cleanup_unassigned(assigned, Q), col_mask, stats
 
 
 # ---------------------------------------------------------------------------

@@ -35,8 +35,11 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-_BIG = jnp.int32(2**30)
+# np (not jnp): a module-level jnp constant would initialize the XLA backend
+# at import time, which breaks jax.distributed.initialize in the driver
+_BIG = np.int32(2**30)
 
 
 def _run_min_axis(lab: jnp.ndarray, mask: jnp.ndarray, axis: int) -> jnp.ndarray:
@@ -183,8 +186,13 @@ def cam_pseudo_boxes(
         on (B, max_pos) gathered channels instead of all (B, C) — the
         reference only ever extracts boxes for positive classes
         (engine.py:379-381), so for max_pos >= #positives this is exact.
-        Images with more positives keep the LOWEST class indices, mirroring
-        the class-ascending truncation the max_boxes packing applies anyway.
+        Images with more positives keep the classes with the STRONGEST CAM
+        evidence (largest per-channel dynamic range). This deviates from pure
+        class-ascending order: the max_boxes packing truncates over VALID
+        boxes, so dropping a whole channel here can drop supervision the
+        reference would have kept — budgeting by evidence keeps the channels
+        most likely to yield confident pseudo-boxes. Presets size max_pos so
+        truncation is rare (16 on COCO, 8 on 20-class VOC).
 
     Returns dict:
       boxes:  (B, max_boxes, 4) normalized cxcywh
@@ -196,10 +204,16 @@ def cam_pseudo_boxes(
 
     if max_pos is not None and max_pos < C:
         P = max_pos
-        # top_k on a 0/1 vector returns the positive entries first, ties
-        # broken by LOWEST index; re-sorting the indices keeps ascending
-        # class order for the packing key below
-        _, pos_idx = jax.lax.top_k(img_label.astype(jnp.float32), P)  # (B, P)
+        # rank positive channels by CAM evidence (per-channel dynamic range;
+        # the min-max normalization below makes absolute scale meaningless,
+        # range is what survives it). Negatives score -1 so any positive —
+        # even a constant CAM with range 0 — wins a budget slot first.
+        # Re-sorting the indices keeps ascending class order for the
+        # packing key below.
+        rng_ev = (jnp.max(cams, axis=(2, 3)) -
+                  jnp.min(cams, axis=(2, 3))).astype(jnp.float32)  # (B, C)
+        score = jnp.where(img_label > 0, jnp.nan_to_num(rng_ev), -1.0)
+        _, pos_idx = jax.lax.top_k(score, P)  # (B, P)
         pos_idx = jnp.sort(pos_idx, axis=1).astype(jnp.int32)
         sel_cams = jnp.take_along_axis(cams, pos_idx[:, :, None, None], axis=1)
         sel_label = jnp.take_along_axis(img_label, pos_idx, axis=1)

@@ -30,6 +30,8 @@ def postprocess_topk(pred_logits: jnp.ndarray, pred_boxes: jnp.ndarray,
     """
     B, Q, K = pred_logits.shape
     prob = jax.nn.sigmoid(pred_logits.astype(jnp.float32)).reshape(B, Q * K)
+    # small configs can have fewer than keep_queries candidates
+    keep_queries = min(keep_queries, Q * K)
     scores, idx = jax.lax.top_k(prob, keep_queries)
     q_idx = idx // K
     labels = idx % K

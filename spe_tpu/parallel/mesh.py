@@ -39,19 +39,52 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch):
+    """Put a host-local batch onto the mesh's data axis.
+
+    Single-process: plain device_put. Multi-process: each process's local
+    batch is its shard of the global batch (the loader is process-sharded,
+    the DistributedSampler replacement), assembled into one global array —
+    device_put cannot target non-addressable devices.
+    """
     sh = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)),
+            batch)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
 
 
-def init_distributed(coordinator: Optional[str] = None,
-                     num_processes: Optional[int] = None,
+def init_distributed(world_size: int = 1, dist_url: str = "env://",
                      process_id: Optional[int] = None) -> None:
     """Multi-host init (replaces init_distributed_mode, util/misc.py:414-436).
 
-    No-op when single-process; env:// style discovery is handled by
-    jax.distributed.initialize itself (JAX_COORDINATOR_ADDRESS etc.).
+    Must run before any other JAX backend use. No-op when world_size <= 1
+    (the reference's single-process fallback, util/misc.py:422-425).
+
+    dist_url 'env://' defers discovery to jax.distributed.initialize's own
+    environment handling (JAX_COORDINATOR_ADDRESS / cloud-TPU metadata /
+    SLURM). Any other value is the coordinator address ('host:port', with
+    an optional tcp:// prefix for reference-flag compatibility); the process
+    id then comes from `process_id` or, like the reference's env discovery
+    (util/misc.py:417-421), the RANK / PROCESS_ID environment variables.
     """
-    if num_processes is not None and num_processes > 1:
-        jax.distributed.initialize(coordinator_address=coordinator,
-                                   num_processes=num_processes,
-                                   process_id=process_id)
+    if world_size <= 1:
+        return
+    if dist_url == "env://":
+        jax.distributed.initialize()
+        return
+    import os
+
+    coordinator = dist_url.removeprefix("tcp://").removeprefix("grpc://")
+    if process_id is None:
+        for var in ("RANK", "PROCESS_ID", "JAX_PROCESS_ID"):
+            if var in os.environ:
+                process_id = int(os.environ[var])
+                break
+    if process_id is None:
+        raise ValueError(
+            "multi-process launch needs a process id: set RANK (like the "
+            "reference's env:// discovery) or pass process_id")
+    jax.distributed.initialize(coordinator_address=coordinator,
+                               num_processes=world_size,
+                               process_id=process_id)

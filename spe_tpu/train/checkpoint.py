@@ -15,10 +15,20 @@ from spe_tpu.train.train_step import TrainState
 
 
 def save_checkpoint(path, state: TrainState, epoch: int, cfg: SPEConfig) -> None:
+    """Called from process 0 only (reference save_on_master). State leaves
+    are pulled to host numpy first: params/opt_state are replicated, so each
+    process holds the full value, and saving plain numpy keeps orbax free of
+    cross-process barriers a single-process call would deadlock on."""
+    import jax
+    import numpy as np
+
     path = Path(path).resolve()
+    tree = (dataclasses.asdict(state) if dataclasses.is_dataclass(state)
+            else state._asdict())
+    tree = jax.tree_util.tree_map(
+        lambda x: np.asarray(x) if isinstance(x, jax.Array) else x, tree)
     ckptr = ocp.StandardCheckpointer()
-    ckptr.save(path / "state", dataclasses.asdict(state)
-               if dataclasses.is_dataclass(state) else state._asdict(), force=True)
+    ckptr.save(path / "state", tree, force=True)
     ckptr.wait_until_finished()
     meta = {"epoch": epoch, "config": dataclasses.asdict(cfg)}
     (path / "meta.json").write_text(json.dumps(_jsonable(meta)))

@@ -29,7 +29,9 @@ import jax
 import jax.numpy as jnp
 
 from spe_tpu.ops import boxes as box_ops
-from spe_tpu.ops.assignment import auction_assignment, hungarian_callback
+from spe_tpu.ops.assignment import (auction_assignment,
+                                    auction_assignment_stats,
+                                    hungarian_callback)
 from spe_tpu.ops.losses import image_label_bce, weighted_sigmoid_focal_loss
 
 
@@ -102,8 +104,13 @@ def matcher_cost(pred_logits: jnp.ndarray, pred_boxes: jnp.ndarray,
 
 
 def match(pred_logits, pred_boxes, targets, *, method: str = "auction",
-          cost_class: float = 2.0, cost_bbox: float = 5.0, cost_giou: float = 2.0):
-    """Batched assignment: returns row_for_col (B, T) query index per target."""
+          cost_class: float = 2.0, cost_bbox: float = 5.0, cost_giou: float = 2.0,
+          with_stats: bool = False):
+    """Batched assignment: returns row_for_col (B, T) query index per target.
+
+    with_stats=True additionally returns per-image solver-health stats
+    ({'iters': (B,), 'cleanup': (B,)}; zeros for the exact host solver) for
+    the training log (VERDICT r2: assignment observability)."""
     # matching is not differentiated (reference runs the matcher under
     # no_grad, matcher.py:42); stop_gradient guarantees the cost-matrix
     # graph is pruned from the backward pass
@@ -112,8 +119,18 @@ def match(pred_logits, pred_boxes, targets, *, method: str = "auction",
     cost = jax.vmap(lambda lg, bx, lb, tb, m: matcher_cost(
         lg, bx, lb, tb, m, cost_class, cost_bbox, cost_giou))(
         pred_logits, pred_boxes, targets["labels"], targets["boxes"], targets["mask"])
-    solver = hungarian_callback if method == "hungarian_cpu" else auction_assignment
-    row_for_col, _ = jax.vmap(solver)(cost, targets["mask"])
+    if method == "hungarian_cpu":
+        row_for_col, _ = jax.vmap(hungarian_callback)(cost, targets["mask"])
+        if with_stats:
+            B = row_for_col.shape[0]
+            return row_for_col, {"iters": jnp.zeros(B, jnp.int32),
+                                 "cleanup": jnp.zeros(B, jnp.int32)}
+        return row_for_col
+    if with_stats:
+        row_for_col, _, stats = jax.vmap(auction_assignment_stats)(
+            cost, targets["mask"])
+        return row_for_col, stats
+    row_for_col, _ = jax.vmap(auction_assignment)(cost, targets["mask"])
     return row_for_col
 
 
@@ -197,12 +214,15 @@ def set_criterion(stage_out: Dict[str, jnp.ndarray], targets: Dict[str, jnp.ndar
                   cost_class: float = 2.0, cost_bbox: float = 5.0,
                   cost_giou: float = 2.0, refine_weights: bool = False,
                   assignment: str = "auction",
-                  training: bool = True) -> Dict[str, jnp.ndarray]:
+                  training: bool = True,
+                  aux_loss: bool = True) -> Dict[str, jnp.ndarray]:
     """Full criterion for one refine stage incl. aux decoder layers.
 
     stage_out: {pred_logits, pred_boxes, aux_pred_logits (L-1,B,Q,K),
                 aux_pred_boxes}. Aux layers are re-matched independently
     (conditional_detr.py:447-464); aux losses get `_{i}` suffixes.
+    aux_loss=False (reference --no_aux_loss, main.py:89-90) skips the aux
+    decoder layers entirely: only the final layer is matched and lossed.
 
     `num_boxes` must already be the cross-replica normalizer
     (max(total_repeated_boxes/world, 1) semantics — see train_step).
@@ -211,10 +231,14 @@ def set_criterion(stage_out: Dict[str, jnp.ndarray], targets: Dict[str, jnp.ndar
         targets = jitter_repeat_targets(targets, rng, hung_match_ratio, box_jitter)
 
     # stack final + aux layers: (L, B, Q, ...) with final at index -1
-    logits = jnp.concatenate(
-        [stage_out["aux_pred_logits"], stage_out["pred_logits"][None]], axis=0)
-    boxes = jnp.concatenate(
-        [stage_out["aux_pred_boxes"], stage_out["pred_boxes"][None]], axis=0)
+    if aux_loss:
+        logits = jnp.concatenate(
+            [stage_out["aux_pred_logits"], stage_out["pred_logits"][None]], axis=0)
+        boxes = jnp.concatenate(
+            [stage_out["aux_pred_boxes"], stage_out["pred_boxes"][None]], axis=0)
+    else:
+        logits = stage_out["pred_logits"][None]
+        boxes = stage_out["pred_boxes"][None]
 
     def one_layer(lg, bx):
         row = match(lg, bx, targets, method=assignment, cost_class=cost_class,
@@ -294,7 +318,7 @@ def set_criterion_multi(stage_outs, targets_per_stage, rngs, num_boxes_per_stage
                         focal_alpha: float = 0.25, focal_gamma: float = 2.0,
                         cost_class: float = 2.0, cost_bbox: float = 5.0,
                         cost_giou: float = 2.0, assignment: str = "auction",
-                        training: bool = True):
+                        training: bool = True, aux_loss: bool = True):
     """All stages' criteria with ONE batched assignment call.
 
     Functionally identical to calling set_criterion per stage (the reference
@@ -313,10 +337,15 @@ def set_criterion_multi(stage_outs, targets_per_stage, rngs, num_boxes_per_stage
         if training and rng is not None:
             tgt = jitter_repeat_targets(tgt, rng, hung_match_ratio, box_jitter)
         reps.append(tgt)
-        logits_s.append(jnp.concatenate(
-            [so["aux_pred_logits"], so["pred_logits"][None]], axis=0))
-        boxes_s.append(jnp.concatenate(
-            [so["aux_pred_boxes"], so["pred_boxes"][None]], axis=0))
+        if aux_loss:
+            logits_s.append(jnp.concatenate(
+                [so["aux_pred_logits"], so["pred_logits"][None]], axis=0))
+            boxes_s.append(jnp.concatenate(
+                [so["aux_pred_boxes"], so["pred_boxes"][None]], axis=0))
+        else:
+            # --no_aux_loss (main.py:89-90): final decoder layer only
+            logits_s.append(so["pred_logits"][None])
+            boxes_s.append(so["pred_boxes"][None])
     L = logits_s[0].shape[0]
     assert all(lg.shape[0] == L for lg in logits_s), "stages share dec_layers"
 
@@ -326,9 +355,10 @@ def set_criterion_multi(stage_outs, targets_per_stage, rngs, num_boxes_per_stage
         [jnp.broadcast_to(t[k][None], (L,) + t[k].shape) for t in reps],
         axis=0) for k in ("boxes", "labels", "mask")}
 
-    rows = jax.vmap(lambda lg, bx, lb, tb, m: match(
+    rows, mstats = jax.vmap(lambda lg, bx, lb, tb, m: match(
         lg, bx, {"labels": lb, "boxes": tb, "mask": m}, method=assignment,
-        cost_class=cost_class, cost_bbox=cost_bbox, cost_giou=cost_giou))(
+        cost_class=cost_class, cost_bbox=cost_bbox, cost_giou=cost_giou,
+        with_stats=True))(
         LG, BX, TG["labels"], TG["boxes"], TG["mask"])   # (S*L, B, T)
 
     outs = []
@@ -345,4 +375,10 @@ def set_criterion_multi(stage_outs, targets_per_stage, rngs, num_boxes_per_stage
                 for i in range(L - 1):
                     out[f"{k}_{i}"] = v[i]
         outs.append(out)
+    # solver-health observability across ALL (stage, layer, image) problems
+    # this step: worst-case iteration count and total cleanup activations
+    # (reference exactness bar: matcher.py:83-86; these stay 0/small when
+    # the auction's eps-CS bound argument holds)
+    outs[0]["match_iters"] = jnp.max(mstats["iters"]).astype(jnp.float32)
+    outs[0]["match_cleanup"] = jnp.sum(mstats["cleanup"]).astype(jnp.float32)
     return outs

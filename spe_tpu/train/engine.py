@@ -62,7 +62,11 @@ def train_one_epoch(step_fn, state, loader, epoch: int, cfg: SPEConfig,
                           loss_ce=float(metrics.get("loss_ce", 0.0)),
                           loss_bbox=float(metrics.get("loss_bbox", 0.0)),
                           loss_giou=float(metrics.get("loss_giou", 0.0)),
-                          grad_norm=float(metrics.get("grad_norm", 0.0)))
+                          grad_norm=float(metrics.get("grad_norm", 0.0)),
+                          # assignment-solver health (ops/assignment.py):
+                          # worst iteration count + cleanup activations
+                          match_iters=float(metrics.get("match_iters", 0.0)),
+                          match_cleanup=float(metrics.get("match_cleanup", 0.0)))
     metric.synchronize_between_processes()
     return state, {k: m.global_avg for k, m in metric.meters.items()}
 
@@ -228,15 +232,26 @@ def evaluate_voc(model, params, loader, dataset, cfg: SPEConfig,
 
     @jax.jit
     def infer(params, images, pad_mask, sizes):
-        outs, full = _eval_outputs(model, params,
-                                   {"images": images, "pad_mask": pad_mask},
-                                   refine_stage=refine_stage, use_aux_layer=False)
         if with_flip:
-            outs_f, full_f = _eval_outputs(
-                model, params,
-                {"images": images[:, :, ::-1, :], "pad_mask": pad_mask[:, :, ::-1]},
-                refine_stage=refine_stage, use_aux_layer=False)
-            outs = _flip_merge(outs, outs_f, full["backbone"], full_f["backbone"])
+            # batch normal+flipped into ONE forward (reference stacks them,
+            # engine_loc.py:142-147) — 2B through the MXU beats two passes
+            B = images.shape[0]
+            cat = {"images": jnp.concatenate(
+                       [images, images[:, :, ::-1, :]], axis=0),
+                   "pad_mask": jnp.concatenate(
+                       [pad_mask, pad_mask[:, :, ::-1]], axis=0)}
+            outs2, full2 = _eval_outputs(model, params, cat,
+                                         refine_stage=refine_stage,
+                                         use_aux_layer=False)
+            outs = {k: v[:B] for k, v in outs2.items()}
+            outs_f = {k: v[B:] for k, v in outs2.items()}
+            bb_n = {k: v[:B] for k, v in full2["backbone"].items()}
+            bb_f = {k: v[B:] for k, v in full2["backbone"].items()}
+            outs = _flip_merge(outs, outs_f, bb_n, bb_f)
+        else:
+            outs, _ = _eval_outputs(model, params,
+                                    {"images": images, "pad_mask": pad_mask},
+                                    refine_stage=refine_stage, use_aux_layer=False)
         res = postprocess_topk(outs["pred_logits"], outs["pred_boxes"],
                                sizes.astype(jnp.float32), keep_queries=keep)
         keep_mask = batched_nms(res["boxes"], res["scores"], res["labels"],

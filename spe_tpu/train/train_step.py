@@ -95,7 +95,7 @@ def compute_losses(model, params, batch, rng, cfg: SPEConfig, gates: Gates,
                    focal_alpha=cfg.focal_alpha, focal_gamma=cfg.focal_gamma,
                    cost_class=cfg.set_cost_class, cost_bbox=cfg.set_cost_bbox,
                    cost_giou=cfg.set_cost_giou, assignment=cfg.assignment,
-                   training=not deterministic)
+                   training=not deterministic, aux_loss=cfg.aux_loss)
 
     # all stages' matchings run as ONE batched solver call (identical math
     # to per-stage set_criterion; see set_criterion_multi)
@@ -116,7 +116,16 @@ def compute_losses(model, params, batch, rng, cfg: SPEConfig, gates: Gates,
 
     # ---- instance-mask losses (--masks training on a dataset providing
     # GT masks, e.g. coco_panoptic; reference loss_masks,
-    # conditional_detr.py:321-350 — final decoder layer only, :451-452) ----
+    # conditional_detr.py:321-350 — final decoder layer only, :451-452).
+    # Deviation (documented): masks are matched against the RAW GT set in an
+    # independent matching, while box/class losses above match against the
+    # jitter-repeated CAM pseudo-targets — so the query receiving mask
+    # supervision can differ from the one receiving box supervision for the
+    # same object. The reference shares matcher indices because it trains
+    # masks against the same (GT) target set; here the main recipe's box
+    # targets are pseudo-boxes, which have no masks. The intended mask
+    # workflow (--frozen_weights: detector frozen, segm head only) is
+    # unaffected — box losses don't update anything there. ----
     if "pred_masks" in out and "gt_masks" in batch:
         from spe_tpu.train.criterion import mask_losses, match
 
@@ -138,8 +147,9 @@ def compute_losses(model, params, batch, rng, cfg: SPEConfig, gates: Gates,
     weight = {}
     for name, coef in base_w.items():
         weight[name] = coef
-        for i in range(cfg.dec_layers - 1):
-            weight[f"{name}_{i}"] = coef
+        if cfg.aux_loss:  # --no_aux_loss drops the per-layer aux terms
+            for i in range(cfg.dec_layers - 1):
+                weight[f"{name}_{i}"] = coef
     weight["img_label_logits"] = cfg.img_label_loss_coef
     weight["img_label_logits_tokens"] = cfg.img_label_tokens_loss_coef
     weight["loss_mask"] = cfg.mask_loss_coef

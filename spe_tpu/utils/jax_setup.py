@@ -16,6 +16,10 @@ import pathlib
 def setup(platform: str | None = None, cache_dir: str | None = None) -> None:
     import jax
 
+    # SPE_TPU_PLATFORM=cpu forces the platform from the environment (needed
+    # because the axon sitecustomize pins jax_platforms via jax.config,
+    # which silently overrides JAX_PLATFORMS in subprocesses)
+    platform = platform or os.environ.get("SPE_TPU_PLATFORM")
     if platform:
         jax.config.update("jax_platforms", platform)
     if cache_dir is None:

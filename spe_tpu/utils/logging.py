@@ -73,8 +73,10 @@ class MetricLogger:
         self.meters[name] = meter
 
     def synchronize_between_processes(self):
-        for m in self.meters.values():
-            m.synchronize_between_processes()
+        # sorted keys: every process must issue the collectives in the same
+        # order (reference reduce_dict sorts keys, util/misc.py:155)
+        for k in sorted(self.meters):
+            self.meters[k].synchronize_between_processes()
 
     def __str__(self):
         return self.delimiter.join(f"{k}: {m}" for k, m in self.meters.items())

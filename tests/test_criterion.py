@@ -213,6 +213,9 @@ def test_multi_stage_matches_per_stage(rng):
 
     multi = set_criterion_multi(stages, tgts, rngs, nbs, [False, True],
                                 hung_match_ratio=3)
+    # stage 0 additionally carries solver-health stats (observability)
+    assert float(multi[0].pop("match_cleanup")) == 0.0
+    assert float(multi[0].pop("match_iters")) >= 1.0
     for s, flag in enumerate([False, True]):
         single = set_criterion(stages[s], tgts[s], rngs[s], nbs[s],
                                hung_match_ratio=3, refine_weights=flag)

@@ -104,3 +104,38 @@ def test_postprocess_refine_multi_threshold(rng):
     expected_n = int((prob[0, :, 2] >= 0.5 * prob[0, :, 2].max()).sum())
     assert int(np.asarray(out["mask"][0]).sum()) == expected_n
     assert set(np.asarray(out["labels"][0])[np.asarray(out["mask"][0])]) == {2}
+
+
+def test_nms_fixpoint_matches_scan_on_chains(rng):
+    """The fixpoint NMS must equal the sequential recurrence even on deep
+    suppression chains (a ladder of boxes each overlapping the next, where
+    greedy keeps every other box)."""
+    from spe_tpu.ops.nms import nms_scan_reference
+
+    # ladder: box i = [4i, 0, 4i+10, 10] overlaps i+1 (IoU 6/14 > 0.3)
+    n = 32
+    xs = 4.0 * np.arange(n)
+    boxes = np.stack([xs, np.zeros(n), xs + 10, np.full(n, 10.0)], -1).astype(np.float32)
+    scores = np.linspace(1.0, 0.5, n).astype(np.float32)  # descending: chain order
+    labels = np.zeros(n, np.int32)
+    valid = np.ones(n, bool)
+    for thr in (0.3, 0.5):
+        kf = np.asarray(nms_per_class(jnp.array(boxes), jnp.array(scores),
+                                      jnp.array(labels), jnp.array(valid), thr))
+        ks = np.asarray(nms_scan_reference(jnp.array(boxes), jnp.array(scores),
+                                           jnp.array(labels), jnp.array(valid), thr))
+        np.testing.assert_array_equal(kf, ks)
+
+    # random stress incl. invalid entries and multiple classes
+    for _ in range(8):
+        n = 64
+        b0 = rng.uniform(0, 60, (n, 2))
+        boxes = np.concatenate([b0, b0 + rng.uniform(4, 30, (n, 2))], -1).astype(np.float32)
+        scores = rng.uniform(size=n).astype(np.float32)
+        labels = rng.integers(0, 4, n).astype(np.int32)
+        valid = rng.uniform(size=n) > 0.3
+        kf = np.asarray(nms_per_class(jnp.array(boxes), jnp.array(scores),
+                                      jnp.array(labels), jnp.array(valid), 0.5))
+        ks = np.asarray(nms_scan_reference(jnp.array(boxes), jnp.array(scores),
+                                           jnp.array(labels), jnp.array(valid), 0.5))
+        np.testing.assert_array_equal(kf, ks)
