@@ -62,8 +62,13 @@ def main():
 
     # the stock preset: fused Pallas attention (all four flavors, in-kernel
     # dropout) is the shipped default — the benched config IS the config a
-    # --preset voc0712 user trains with (batch size aside)
-    cfg = voc0712_preset(batch_size=BATCH)
+    # --preset voc0712 user trains with (batch size aside).
+    # SPE_BENCH_FUSED_BLOCK=0 disables the whole-block fused kernel
+    # (ops/pallas_block.py, the preset default) for A/B ladders.
+    overrides = {}
+    if os.environ.get("SPE_BENCH_FUSED_BLOCK") == "0":
+        overrides["use_fused_block"] = False
+    cfg = voc0712_preset(batch_size=BATCH, **overrides)
     model = build_model(cfg)
     n_dev = len(jax.devices())
     mesh = make_mesh()

@@ -128,6 +128,10 @@ class SPEConfig:
     mesh_shape: Tuple[int, ...] = (-1,)
     # pallas kernels
     use_pallas_attention: bool = False
+    # whole-block fused kernel for the CaiT patch blocks (ops/pallas_block.py)
+    use_fused_block: bool = False
+    # rematerialize backbone blocks under autodiff (memory for FLOPs)
+    remat: bool = False
     # assignment solver: 'auction' (on-device) or 'hungarian_cpu' (oracle).
     # (No eps-scaling knob: scaling rounds break the rectangular duality
     # argument the auction solver's correctness rests on — ops/assignment.py.)
@@ -220,6 +224,10 @@ def voc0712_preset(**overrides) -> SPEConfig:
         # fused Pallas attention (all four flavors, in-kernel dropout):
         # training parity confirmed on-chip (scripts_dev/convergence_tpu.py)
         use_pallas_attention=True,
+        # whole-block fused kernel for the patch blocks (+31% train
+        # throughput, 49->64.5 img/s): parity + on-chip convergence
+        # verified (tests/test_pallas_block.py; convergence run r3)
+        use_fused_block=True,
     )
     return cfg.replace(**overrides)
 
@@ -257,6 +265,7 @@ def coco17_preset(**overrides) -> SPEConfig:
         max_pos_classes=16,    # COCO images can carry >8 categories; keep
                                # CAM budget truncation rare (ops/cam_boxes.py)
         use_pallas_attention=True,  # parity: scripts_dev/convergence_tpu.py
+        use_fused_block=True,       # whole-block kernel (see voc0712 note)
     )
     return cfg.replace(**overrides)
 
@@ -276,6 +285,7 @@ _FLAG_FIELDS = [f.name for f in dataclasses.fields(SPEConfig)]
 _STORE_TRUE = {
     "dilation", "pre_norm", "masks", "hungarian_multi", "drloc",
     "remove_difficult", "eval", "fixed_size", "use_pallas_attention",
+    "use_fused_block", "remat",
 }
 _SKIP = {"mesh_axes", "mesh_shape", "aux_loss"}
 

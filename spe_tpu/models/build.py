@@ -19,6 +19,8 @@ def build_model(cfg: SPEConfig) -> SPEDetector:
         attn_drop_rate=cfg.drop_attn_rate,
         drop_path_rate=cfg.drop_path_rate,
         use_pallas=cfg.use_pallas_attention,
+        use_fused_block=cfg.use_fused_block,
+        remat=cfg.remat,
     )
     dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
     return SPEDetector(

@@ -29,9 +29,71 @@ from spe_tpu.models.layers import (DropPath, Mlp, PatchEmbed,
                                    interpolate_pos_embed, trunc_normal_init)
 
 
+class _DenseShell(nn.Module):
+    """Declares Dense-shaped params (kernel/bias) without executing — the
+    fused whole-block kernel consumes the raw arrays; param paths stay
+    identical to the unfused tree so checkpoints/converters are unaffected."""
+
+    fin: int
+    fout: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", trunc_normal_init, (self.fin, self.fout),
+                       jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (self.fout,), jnp.float32)
+        return k, b
+
+
+class _LNShell(nn.Module):
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        s = self.param("scale", nn.initializers.ones, (self.dim,), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (self.dim,), jnp.float32)
+        return s, b
+
+
+class _AttnShell(nn.Module):
+    """Param shell matching TalkingHeadsAttention's tree."""
+
+    dim: int
+    num_heads: int
+
+    @nn.compact
+    def __call__(self):
+        H = self.num_heads
+        qkv = _DenseShell(self.dim, 3 * self.dim, name="qkv")()
+        wl = self.param("proj_l", nn.initializers.truncated_normal(0.02),
+                        (H, H), jnp.float32)
+        bl = self.param("proj_l_bias", nn.initializers.zeros, (H,), jnp.float32)
+        ww = self.param("proj_w", nn.initializers.truncated_normal(0.02),
+                        (H, H), jnp.float32)
+        bw = self.param("proj_w_bias", nn.initializers.zeros, (H,), jnp.float32)
+        proj = _DenseShell(self.dim, self.dim, name="proj")()
+        return qkv, wl, bl, ww, bw, proj
+
+
+class _MlpShell(nn.Module):
+    dim: int
+    hidden: int
+
+    @nn.compact
+    def __call__(self):
+        fc1 = _DenseShell(self.dim, self.hidden, name="fc1")()
+        fc2 = _DenseShell(self.hidden, self.dim, name="fc2")()
+        return fc1, fc2
+
+
 class LayerScaleBlock(nn.Module):
     """Pre-norm block with LayerScale (reference LayerScale_Block,
-    cait.py:396-416): x += dp(gamma1*attn(norm(x))); x += dp(gamma2*mlp(...))."""
+    cait.py:396-416): x += dp(gamma1*attn(norm(x))); x += dp(gamma2*mlp(...)).
+
+    use_fused routes the WHOLE block through one Pallas kernel per direction
+    (ops/pallas_block.py): LN1 -> qkv -> talking-heads attention -> proj ->
+    LayerScale residual -> LN2 -> MLP -> LayerScale residual, with all three
+    dropouts in-kernel. Param tree is identical either way."""
 
     num_heads: int
     mlp_ratio: float = 4.0
@@ -41,13 +103,18 @@ class LayerScaleBlock(nn.Module):
     init_scale: float = 1e-4
     qkv_bias: bool = True
     use_pallas: bool = False
+    use_fused: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, *, deterministic: bool = True):
+    def __call__(self, x, deterministic: bool = True):
+        # NB: deterministic is positional-or-keyword (not kw-only) so
+        # nn.remat can mark it static (jax.checkpoint has no static kwargs)
         D = x.shape[-1]
         gamma1 = self.param("gamma_1", nn.initializers.constant(self.init_scale), (D,), jnp.float32)
         gamma2 = self.param("gamma_2", nn.initializers.constant(self.init_scale), (D,), jnp.float32)
+        if self.use_fused:
+            return self._fused(x, gamma1, gamma2, deterministic)
         h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
         h = TalkingHeadsAttention(self.num_heads, attn_drop=self.attn_drop,
                                   proj_drop=self.drop, qkv_bias=self.qkv_bias,
@@ -59,6 +126,49 @@ class LayerScaleBlock(nn.Module):
                 name="mlp")(h, deterministic=deterministic)
         x = x + DropPath(self.drop_path)(gamma2.astype(x.dtype) * h, deterministic=deterministic)
         return x
+
+    def _fused(self, x, gamma1, gamma2, deterministic: bool):
+        import jax
+
+        from spe_tpu.ops.pallas_block import fused_layer_scale_block
+
+        D = x.shape[-1]
+        H = self.num_heads
+        (wqkv, bqkv), wl, bl, ww, bw, (wp, bp) = _AttnShell(
+            D, H, name="attn")()
+        g1, b1 = _LNShell(D, name="norm1")()
+        g2, b2 = _LNShell(D, name="norm2")()
+        (w1, bb1), (w2, bb2) = _MlpShell(D, int(D * self.mlp_ratio),
+                                         name="mlp")()
+
+        attn_drop = 0.0 if deterministic else float(self.attn_drop)
+        proj_drop = 0.0 if deterministic else float(self.drop)
+        path_drop = 0.0 if deterministic else float(self.drop_path)
+        if attn_drop > 0.0 or proj_drop > 0.0 or path_drop > 0.0:
+            key = self.make_rng("dropout")
+            seed = jax.random.randint(key, (1,), 0, 2**31 - 1).astype(jnp.float32)
+        else:
+            seed = jnp.zeros((1,), jnp.float32)
+
+        dt = self.dtype
+        params = (
+            g1.reshape(1, D), b1.reshape(1, D),
+            wqkv.astype(dt), bqkv.reshape(1, 3 * D),
+            wl, bl.reshape(H, 1), ww, bw.reshape(H, 1),
+            wp.astype(dt), bp.reshape(1, D),
+            gamma1.reshape(1, D),
+            g2.reshape(1, D), b2.reshape(1, D),
+            w1.astype(dt), bb1.reshape(1, int(D * self.mlp_ratio)),
+            w2.astype(dt), bb2.reshape(1, D),
+            gamma2.reshape(1, D),
+            seed,
+        )
+        x = x.astype(dt)
+        N = x.shape[1]
+        q_tile = next((t for t in (512, 256, 128) if N % t == 0), N)
+        interpret = jax.default_backend() not in ("tpu", "axon")
+        return fused_layer_scale_block(x, params, q_tile, interpret,
+                                       attn_drop, proj_drop, path_drop)
 
 
 class LayerScaleBlockClassAttn(nn.Module):
@@ -123,6 +233,16 @@ class CaiTConfig:
     drop_path_rate: float = 0.0
     qkv_bias: bool = True
     use_pallas: bool = False
+    # whole-block fused Pallas kernel (ops/pallas_block.py) for the patch
+    # blocks: one kernel per block per direction instead of ~10 XLA ops +
+    # an attention kernel. Takes precedence over use_pallas for the patch
+    # stack (class-attention blocks keep their own kernels).
+    use_fused_block: bool = False
+    # rematerialize each patch block under autodiff (jax.checkpoint):
+    # activations are recomputed in the backward pass instead of stored —
+    # the standard TPU memory/FLOPs trade for deep stacks (M48@448) and a
+    # prerequisite for fitting large configs on a 16GB v5e chip
+    remat: bool = False
     # True = TSCAM_cait_two_branch (duplicate det block stack forked at
     # layer_to_det, std-reweighted CAM, cait.py:674-831). False = the
     # single-branch TSCAM_cait (det features = norm_to_det(x) captured at
@@ -179,14 +299,19 @@ class CaiTTwoBranch(nn.Module):
         # cait.py:776-777) into a duplicate block stack. Single-branch:
         # det features = norm_to_det(x) captured at block INDEX
         # layer_to_det (`if i == self.layer_to_det`, cait.py:627-629).
+        # deterministic is passed POSITIONALLY so nn.remat can mark it
+        # static (index 2 after flax's scope arg)
+        block_cls = (nn.remat(LayerScaleBlock, static_argnums=(2,))
+                     if cfg.remat else LayerScaleBlock)
         x_feat = None
         for i in range(cfg.depth):
-            x = LayerScaleBlock(cfg.num_heads, cfg.mlp_ratio, drop=cfg.drop_rate,
-                                attn_drop=cfg.attn_drop_rate, drop_path=cfg.drop_path_rate,
-                                init_scale=cfg.init_scale, qkv_bias=cfg.qkv_bias,
-                                use_pallas=cfg.use_pallas,
-                                dtype=self.dtype, name=f"blocks_{i}")(
-                x, deterministic=deterministic)
+            x = block_cls(cfg.num_heads, cfg.mlp_ratio, drop=cfg.drop_rate,
+                          attn_drop=cfg.attn_drop_rate, drop_path=cfg.drop_path_rate,
+                          init_scale=cfg.init_scale, qkv_bias=cfg.qkv_bias,
+                          use_pallas=cfg.use_pallas,
+                          use_fused=cfg.use_fused_block,
+                          dtype=self.dtype, name=f"blocks_{i}")(
+                x, deterministic)
             if cfg.two_branch and i + 1 == cfg.layer_to_det:
                 x_feat = x
             if not cfg.two_branch and i == min(cfg.layer_to_det, cfg.depth - 1):
@@ -194,12 +319,13 @@ class CaiTTwoBranch(nn.Module):
 
         if cfg.two_branch:
             for i in range(cfg.depth - cfg.layer_to_det):
-                x_feat = LayerScaleBlock(cfg.num_heads, cfg.mlp_ratio, drop=cfg.drop_rate,
-                                         attn_drop=cfg.attn_drop_rate, drop_path=cfg.drop_path_rate,
-                                         init_scale=cfg.init_scale, qkv_bias=cfg.qkv_bias,
-                                         use_pallas=cfg.use_pallas,
-                                         dtype=self.dtype, name=f"blocks_det_{i}")(
-                    x_feat, deterministic=deterministic)
+                x_feat = block_cls(cfg.num_heads, cfg.mlp_ratio, drop=cfg.drop_rate,
+                                   attn_drop=cfg.attn_drop_rate, drop_path=cfg.drop_path_rate,
+                                   init_scale=cfg.init_scale, qkv_bias=cfg.qkv_bias,
+                                   use_pallas=cfg.use_pallas,
+                                   use_fused=cfg.use_fused_block,
+                                   dtype=self.dtype, name=f"blocks_det_{i}")(
+                    x_feat, deterministic)
             x_feat = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm_det")(x_feat)
         else:
             x_feat = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
@@ -277,10 +403,12 @@ BACKBONE_REGISTRY = {
 def build_cait_config(name: str, num_classes: int, layer_to_det: int,
                       drop_rate: float = 0.0, attn_drop_rate: float = 0.0,
                       drop_path_rate: float = 0.0,
-                      use_pallas: bool = False) -> CaiTConfig:
+                      use_pallas: bool = False,
+                      use_fused_block: bool = False,
+                      remat: bool = False) -> CaiTConfig:
     if name not in BACKBONE_REGISTRY:
         raise KeyError(f"unknown backbone '{name}'; have {sorted(BACKBONE_REGISTRY)}")
     return BACKBONE_REGISTRY[name](
         num_classes=num_classes, layer_to_det=layer_to_det, drop_rate=drop_rate,
         attn_drop_rate=attn_drop_rate, drop_path_rate=drop_path_rate,
-        use_pallas=use_pallas)
+        use_pallas=use_pallas, use_fused_block=use_fused_block, remat=remat)

@@ -1,0 +1,459 @@
+"""Fully-fused CaiT LayerScale block (Pallas TPU): ONE kernel per direction
+for  x += dp(gamma1 * proj(talking_heads(LN1(x))));
+     x += dp(gamma2 * mlp(LN2(x))).
+
+Why: the per-op path costs ~10 XLA kernels + 1 Pallas kernel per block x 48
+blocks x fwd/bwd — every elementwise stage (LN, LayerScale, residual, GELU,
+dropout) is a separate HBM round trip over the (B, N, D) activations, and on
+the axon tunnel each dispatch also pays a fixed launch cost. Here a whole
+block reads x once and writes the block output once; every intermediate
+(qkv, H attention maps, MLP hidden) lives in VMEM.
+
+Backward is remat-style: the kernel recomputes the forward from the saved
+block INPUT x (nothing else is stashed to HBM) and hand-backprops the whole
+chain — LN, matmuls, talking-heads softmax mixing, GELU — accumulating
+parameter grads across the sequential batch grid axis.
+
+Dropout contract: all three recipe dropouts (attention 0.05 after the 2nd
+head-mix, proj/MLP 0.07, stochastic depth 0.2 per sample per branch) run
+in-kernel via the TPU PRNG. Masks are regenerated identically in the
+backward kernel: same seed derivation, same generation ORDER (attention
+masks per q-tile first, then proj, mlp-hidden, mlp-out, then the two
+drop-path draws), same shapes.
+
+Numerics: matmul operands keep the input dtype (bf16 on the recipe) with
+f32 accumulation via preferred_element_type; LN statistics, softmax, GELU
+and all gradient accumulators are f32. Reference semantics:
+models/cait.py:396-416 (LayerScale_Block) with talking-heads attention
+(:344-393) and timm Mlp (tanh-approx GELU, like flax nn.gelu).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from spe_tpu.ops.pallas_attention import _dropout_masks
+
+_C = 0.7978845608028654  # sqrt(2/pi)
+_A = 0.044715
+
+
+def _gelu(u):
+    t = jnp.tanh(_C * (u + _A * u * u * u))
+    return 0.5 * u * (1.0 + t)
+
+
+def _gelu_grad(u):
+    t = jnp.tanh(_C * (u + _A * u * u * u))
+    return 0.5 * (1.0 + t) + 0.5 * u * (1.0 - t * t) * _C * (1.0 + 3.0 * _A * u * u)
+
+
+def _ln_fwd(x, g, b, eps=1e-6):
+    """x (N, D) any dtype -> (y_f32, xhat_f32, inv_std_f32)."""
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    xc = xf - mu
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    inv = jax.lax.rsqrt(var + eps)
+    xhat = xc * inv
+    return xhat * g[None, :] + b[None, :], xhat, inv
+
+
+def _ln_bwd(dy, xhat, inv, g):
+    """Backward of LN wrt input; returns (dx, dg, db) in f32."""
+    dxhat = dy * g[None, :]
+    m1 = jnp.mean(dxhat, axis=-1, keepdims=True)
+    m2 = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
+    dx = (dxhat - m1 - xhat * m2) * inv
+    return dx, jnp.sum(dy * xhat, axis=0), jnp.sum(dy, axis=0)
+
+
+def _dot(a, b, ta=False, tb=False):
+    dims = (((0,) if ta else (1,), (1,) if tb else (0,)), ((), ()))
+    return jax.lax.dot_general(a, b, dimension_numbers=dims,
+                               preferred_element_type=jnp.float32)
+
+
+def _seed_for(seed_ref, b, tag):
+    return seed_ref[0].astype(jnp.int32) + b * 65536 + tag
+
+
+def _path_keep(seed_ref, b, tag, rate):
+    """Per-sample stochastic-depth keep factor (0 or 1/keep), f32 scalar."""
+    pltpu.prng_seed(_seed_for(seed_ref, b, tag))
+    bits = pltpu.bitcast(pltpu.prng_random_bits((8, 128)), jnp.uint32)
+    byte = bits[0, 0] & jnp.uint32(0xFF)
+    thresh_i = int((1.0 - rate) * 255.0)
+    keep_prob = (thresh_i + 1) / 256.0
+    keep = (byte <= jnp.uint32(thresh_i)).astype(jnp.float32)
+    return keep / keep_prob
+
+
+def _attention(q, k, v, wl_ref, bl_ref, ww_ref, bw_ref, seed_ref, b,
+               H, dh, q_tile, attn_drop, collect=None):
+    """Talking-heads attention over VMEM-resident q/k/v lists (per head,
+    (N, dh) f32-accum tiles). Returns list of per-head (N, dh) f32 outputs.
+    `collect`, when given, receives per-tile intermediates for the backward."""
+    N = q[0].shape[0]
+    scale = dh ** -0.5
+    outs = [[] for _ in range(H)]
+    for t0 in range(0, N, q_tile):
+        sl = slice(t0, t0 + q_tile)
+        logits = [_dot(q[h][sl] * scale, k[h], tb=True) for h in range(H)]
+        mixed = []
+        for g in range(H):
+            s = logits[0] * wl_ref[0, g]
+            for h in range(1, H):
+                s = s + logits[h] * wl_ref[h, g]
+            mixed.append(s + bl_ref[g, 0])
+        probs = []
+        for g in range(H):
+            m = jnp.max(mixed[g], axis=-1, keepdims=True)
+            e = jnp.exp(mixed[g] - m)
+            probs.append(e / jnp.sum(e, axis=-1, keepdims=True))
+        z = []
+        for g in range(H):
+            s = probs[0] * ww_ref[0, g]
+            for h in range(1, H):
+                s = s + probs[h] * ww_ref[h, g]
+            z.append(s + bw_ref[g, 0])
+        if attn_drop > 0.0:
+            pltpu.prng_seed(_seed_for(seed_ref, b, t0 // q_tile))
+            keeps, kp = _dropout_masks((q_tile, N), H, attn_drop)
+            zd = [jnp.where(keeps[h], z[h] / kp, 0.0) for h in range(H)]
+        else:
+            keeps, kp, zd = None, 1.0, z
+        if collect is not None:
+            collect.append(dict(sl=sl, logits=logits, probs=probs, z=z,
+                                keeps=keeps, kp=kp, zd=zd))
+        for h in range(H):
+            outs[h].append(_dot(zd[h].astype(v[h].dtype), v[h]))
+    return [jnp.concatenate(o, axis=0) for o in outs]
+
+
+def _block_fwd_kernel(x_ref, g1_ref, b1_ref, wqkv_ref, bqkv_ref, wl_ref,
+                      bl_ref, ww_ref, bw_ref, wp_ref, bp_ref, gam1_ref,
+                      g2_ref, b2_ref, w1_ref, bb1_ref, w2_ref, bb2_ref,
+                      gam2_ref, seed_ref, o_ref, *, H: int, q_tile: int,
+                      attn_drop: float, proj_drop: float, path_drop: float):
+    b = pl.program_id(0)
+    x = x_ref[0]                       # (N, D)
+    N, D = x.shape
+    dh = D // H
+    in_dt = x.dtype
+
+    h1n, _, _ = _ln_fwd(x, g1_ref[0], b1_ref[0])
+    qkv = _dot(h1n.astype(in_dt), wqkv_ref[...]) + bqkv_ref[0][None, :]
+    qkv = qkv.astype(in_dt)
+    q = [qkv[:, h * dh:(h + 1) * dh].astype(jnp.float32) for h in range(H)]
+    k = [qkv[:, D + h * dh:D + (h + 1) * dh].astype(jnp.float32) for h in range(H)]
+    v = [qkv[:, 2 * D + h * dh:2 * D + (h + 1) * dh] for h in range(H)]
+    # operands re-cast to input dtype for the MXU dots
+    q = [a.astype(in_dt) for a in q]
+    k = [a.astype(in_dt) for a in k]
+
+    o_heads = _attention(q, k, v, wl_ref, bl_ref, ww_ref, bw_ref, seed_ref, b,
+                         H, dh, q_tile, attn_drop)
+    o = jnp.concatenate([oh.astype(in_dt) for oh in o_heads], axis=1)  # (N, D)
+    ao = _dot(o, wp_ref[...]) + bp_ref[0][None, :]                     # f32
+    if proj_drop > 0.0:
+        pltpu.prng_seed(_seed_for(seed_ref, b, 5000))
+        (keep_p,), kp_p = _dropout_masks((N, D), 1, proj_drop)
+        ao = jnp.where(keep_p, ao / kp_p, 0.0)
+    dp1 = (_path_keep(seed_ref, b, 8000, path_drop)
+           if path_drop > 0.0 else jnp.float32(1.0))
+    x1 = x.astype(jnp.float32) + dp1 * gam1_ref[0][None, :] * ao
+
+    h2n, _, _ = _ln_fwd(x1, g2_ref[0], b2_ref[0])
+    u = _dot(h2n.astype(in_dt), w1_ref[...]) + bb1_ref[0][None, :]     # (N, 4D) f32
+    ug = _gelu(u)
+    if proj_drop > 0.0:
+        pltpu.prng_seed(_seed_for(seed_ref, b, 6000))
+        (keep_u,), kp_u = _dropout_masks(ug.shape, 1, proj_drop)
+        ug = jnp.where(keep_u, ug / kp_u, 0.0)
+    m = _dot(ug.astype(in_dt), w2_ref[...]) + bb2_ref[0][None, :]      # (N, D) f32
+    if proj_drop > 0.0:
+        pltpu.prng_seed(_seed_for(seed_ref, b, 7000))
+        (keep_m,), kp_m = _dropout_masks(m.shape, 1, proj_drop)
+        m = jnp.where(keep_m, m / kp_m, 0.0)
+    dp2 = (_path_keep(seed_ref, b, 9000, path_drop)
+           if path_drop > 0.0 else jnp.float32(1.0))
+    out = x1 + dp2 * gam2_ref[0][None, :] * m
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+def _block_bwd_kernel(x_ref, g1_ref, b1_ref, wqkv_ref, bqkv_ref, wl_ref,
+                      bl_ref, ww_ref, bw_ref, wp_ref, bp_ref, gam1_ref,
+                      g2_ref, b2_ref, w1_ref, bb1_ref, w2_ref, bb2_ref,
+                      gam2_ref, seed_ref, dy_ref,
+                      dx_ref, dg1_ref, db1_ref, dwqkv_ref, dbqkv_ref,
+                      dwl_ref, dbl_ref, dww_ref, dbw_ref, dwp_ref, dbp_ref,
+                      dgam1_ref, dg2_ref, db2_ref, dw1_ref, dbb1_ref,
+                      dw2_ref, dbb2_ref, dgam2_ref, *, H: int, q_tile: int,
+                      attn_drop: float, proj_drop: float, path_drop: float):
+    b = pl.program_id(0)
+    x = x_ref[0]
+    N, D = x.shape
+    dh = D // H
+    in_dt = x.dtype
+    scale = dh ** -0.5
+
+    @pl.when(b == 0)
+    def _init():
+        for r in (dg1_ref, db1_ref, dwqkv_ref, dbqkv_ref, dwl_ref, dbl_ref,
+                  dww_ref, dbw_ref, dwp_ref, dbp_ref, dgam1_ref, dg2_ref,
+                  db2_ref, dw1_ref, dbb1_ref, dw2_ref, dbb2_ref, dgam2_ref):
+            r[...] = jnp.zeros_like(r)
+
+    # ---- recompute forward, stashing what the chain rule needs ----
+    h1n, xhat1, inv1 = _ln_fwd(x, g1_ref[0], b1_ref[0])
+    h1n_c = h1n.astype(in_dt)
+    qkv = _dot(h1n_c, wqkv_ref[...]) + bqkv_ref[0][None, :]
+    qkv = qkv.astype(in_dt)
+    q = [qkv[:, h * dh:(h + 1) * dh] for h in range(H)]
+    k = [qkv[:, D + h * dh:D + (h + 1) * dh] for h in range(H)]
+    v = [qkv[:, 2 * D + h * dh:2 * D + (h + 1) * dh] for h in range(H)]
+
+    saved = []
+    o_heads = _attention(q, k, v, wl_ref, bl_ref, ww_ref, bw_ref, seed_ref, b,
+                         H, dh, q_tile, attn_drop, collect=saved)
+    o = jnp.concatenate([oh.astype(in_dt) for oh in o_heads], axis=1)
+    ao = _dot(o, wp_ref[...]) + bp_ref[0][None, :]
+    if proj_drop > 0.0:
+        pltpu.prng_seed(_seed_for(seed_ref, b, 5000))
+        (keep_p,), kp_p = _dropout_masks((N, D), 1, proj_drop)
+        aod = jnp.where(keep_p, ao / kp_p, 0.0)
+    else:
+        keep_p, kp_p, aod = None, 1.0, ao
+    dp1 = (_path_keep(seed_ref, b, 8000, path_drop)
+           if path_drop > 0.0 else jnp.float32(1.0))
+    x1 = x.astype(jnp.float32) + dp1 * gam1_ref[0][None, :] * aod
+
+    h2n, xhat2, inv2 = _ln_fwd(x1, g2_ref[0], b2_ref[0])
+    h2n_c = h2n.astype(in_dt)
+    u = _dot(h2n_c, w1_ref[...]) + bb1_ref[0][None, :]
+    ug = _gelu(u)
+    if proj_drop > 0.0:
+        pltpu.prng_seed(_seed_for(seed_ref, b, 6000))
+        (keep_u,), kp_u = _dropout_masks(ug.shape, 1, proj_drop)
+        ugd = jnp.where(keep_u, ug / kp_u, 0.0)
+    else:
+        keep_u, kp_u, ugd = None, 1.0, ug
+    m = _dot(ugd.astype(in_dt), w2_ref[...]) + bb2_ref[0][None, :]
+    if proj_drop > 0.0:
+        pltpu.prng_seed(_seed_for(seed_ref, b, 7000))
+        (keep_m,), kp_m = _dropout_masks(m.shape, 1, proj_drop)
+        md = jnp.where(keep_m, m / kp_m, 0.0)
+    else:
+        keep_m, kp_m, md = None, 1.0, m
+    dp2 = (_path_keep(seed_ref, b, 9000, path_drop)
+           if path_drop > 0.0 else jnp.float32(1.0))
+
+    # ---- backward ----
+    dy = dy_ref[0].astype(jnp.float32)            # d(out), (N, D)
+
+    # MLP branch: out = x1 + dp2 * gamma2 * md
+    dgam2_ref[0] += jnp.sum(dy * dp2 * md, axis=0)
+    dmd = dy * dp2 * gam2_ref[0][None, :]
+    dm = jnp.where(keep_m, dmd / kp_m, 0.0) if keep_m is not None else dmd
+    dw2_ref[...] += _dot(ugd.astype(in_dt), dm.astype(in_dt), ta=True)
+    dbb2_ref[0] += jnp.sum(dm, axis=0)
+    dugd = _dot(dm.astype(in_dt), w2_ref[...], tb=True)
+    dug = jnp.where(keep_u, dugd / kp_u, 0.0) if keep_u is not None else dugd
+    du = dug * _gelu_grad(u)
+    dw1_ref[...] += _dot(h2n_c, du.astype(in_dt), ta=True)
+    dbb1_ref[0] += jnp.sum(du, axis=0)
+    dh2n = _dot(du.astype(in_dt), w1_ref[...], tb=True)
+    dx1_ln, dg2, db2 = _ln_bwd(dh2n, xhat2, inv2, g2_ref[0])
+    dg2_ref[0] += dg2
+    db2_ref[0] += db2
+    dx1 = dy + dx1_ln                              # d(x1)
+
+    # attention branch: x1 = x + dp1 * gamma1 * aod
+    dgam1_ref[0] += jnp.sum(dx1 * dp1 * aod, axis=0)
+    daod = dx1 * dp1 * gam1_ref[0][None, :]
+    dao = jnp.where(keep_p, daod / kp_p, 0.0) if keep_p is not None else daod
+    dwp_ref[...] += _dot(o, dao.astype(in_dt), ta=True)
+    dbp_ref[0] += jnp.sum(dao, axis=0)
+    do = _dot(dao.astype(in_dt), wp_ref[...], tb=True)  # (N, D) f32
+
+    # per-head, per-tile attention backward (regenerates dropout masks in
+    # the same order as the forward _attention). No scatter updates: dq
+    # tiles are concatenated, dk/dv/mixing grads are whole-array adds.
+    dq_tiles = [[] for _ in range(H)]
+    dk = [jnp.zeros((N, dh), jnp.float32) for _ in range(H)]
+    dv = [jnp.zeros((N, dh), jnp.float32) for _ in range(H)]
+    dwl = jnp.zeros(dwl_ref.shape, jnp.float32)
+    dbl = jnp.zeros(dbl_ref.shape, jnp.float32)
+    dww = jnp.zeros(dww_ref.shape, jnp.float32)
+    dbw = jnp.zeros(dbw_ref.shape, jnp.float32)
+    for s in saved:
+        sl = s["sl"]
+        do_t = [do[sl, h * dh:(h + 1) * dh] for h in range(H)]
+        dzd = [_dot(do_t[h].astype(in_dt), v[h], tb=True) for h in range(H)]
+        for h in range(H):
+            dv[h] = dv[h] + _dot(s["zd"][h].astype(in_dt),
+                                 do_t[h].astype(in_dt), ta=True)
+        if s["keeps"] is not None:
+            dz = [jnp.where(s["keeps"][h], dzd[h] / s["kp"], 0.0)
+                  for h in range(H)]
+        else:
+            dz = dzd
+        # mix2 backward: z_g = sum_h p_h ww[h,g] + bw[g]
+        dp = []
+        for h in range(H):
+            acc = dz[0] * ww_ref[h, 0]
+            for g in range(1, H):
+                acc = acc + dz[g] * ww_ref[h, g]
+            dp.append(acc)
+        dww = dww + jnp.stack(
+            [jnp.stack([jnp.sum(s["probs"][h] * dz[g]) for g in range(H)])
+             for h in range(H)])
+        dbw = dbw + jnp.stack(
+            [jnp.sum(dz[g]) for g in range(H)]).reshape(H, 1)
+        # softmax backward
+        dmix = [s["probs"][g] * (dp[g] - jnp.sum(dp[g] * s["probs"][g],
+                                                 axis=-1, keepdims=True))
+                for g in range(H)]
+        # mix1 backward
+        dl = []
+        for h in range(H):
+            acc = dmix[0] * wl_ref[h, 0]
+            for g in range(1, H):
+                acc = acc + dmix[g] * wl_ref[h, g]
+            dl.append(acc)
+        dwl = dwl + jnp.stack(
+            [jnp.stack([jnp.sum(s["logits"][h] * dmix[g]) for g in range(H)])
+             for h in range(H)])
+        dbl = dbl + jnp.stack(
+            [jnp.sum(dmix[g]) for g in range(H)]).reshape(H, 1)
+        for h in range(H):
+            dq_tiles[h].append(scale * _dot(dl[h].astype(in_dt), k[h]))
+            dk[h] = dk[h] + scale * _dot(dl[h].astype(in_dt), q[h][sl],
+                                         ta=True)
+    dq = [jnp.concatenate(t, axis=0) for t in dq_tiles]
+    dwl_ref[...] += dwl
+    dbl_ref[...] += dbl
+    dww_ref[...] += dww
+    dbw_ref[...] += dbw
+
+    dqkv = jnp.concatenate(
+        [jnp.concatenate(dq, axis=1), jnp.concatenate(dk, axis=1),
+         jnp.concatenate(dv, axis=1)], axis=1)    # (N, 3D) f32
+    dwqkv_ref[...] += _dot(h1n_c, dqkv.astype(in_dt), ta=True)
+    dbqkv_ref[0] += jnp.sum(dqkv, axis=0)
+    dh1n = _dot(dqkv.astype(in_dt), wqkv_ref[...], tb=True)
+    dx_ln, dg1, db1 = _ln_bwd(dh1n, xhat1, inv1, g1_ref[0])
+    dg1_ref[0] += dg1
+    db1_ref[0] += db1
+    dx_ref[0] = (dx1 + dx_ln).astype(dx_ref.dtype)
+
+
+def _specs(N, D, H, batch_block=True):
+    def rep(shape):
+        return pl.BlockSpec(shape, lambda b: tuple(0 for _ in shape),
+                            memory_space=pltpu.VMEM)
+
+    x_spec = pl.BlockSpec((1, N, D), lambda b: (b, 0, 0),
+                          memory_space=pltpu.VMEM)
+    param_specs = [
+        rep((1, D)), rep((1, D)),              # ln1 g/b
+        rep((D, 3 * D)), rep((1, 3 * D)),      # qkv
+        rep((H, H)), rep((H, 1)), rep((H, H)), rep((H, 1)),  # wl/bl/ww/bw
+        rep((D, D)), rep((1, D)),              # proj
+        rep((1, D)),                           # gamma1
+        rep((1, D)), rep((1, D)),              # ln2 g/b
+        rep((D, 4 * D)), rep((1, 4 * D)),      # fc1
+        rep((4 * D, D)), rep((1, D)),          # fc2
+        rep((1, D)),                           # gamma2
+    ]
+    return x_spec, param_specs, rep
+
+
+@functools.partial(jax.jit, static_argnames=("q_tile", "interpret",
+                                             "attn_drop", "proj_drop",
+                                             "path_drop"))
+def _fwd_call(x, params, seed, *, q_tile, interpret, attn_drop, proj_drop,
+              path_drop):
+    B, N, D = x.shape
+    H = params[4].shape[0]
+    x_spec, p_specs, _ = _specs(N, D, H)
+    return pl.pallas_call(
+        functools.partial(_block_fwd_kernel, H=H, q_tile=q_tile,
+                          attn_drop=attn_drop, proj_drop=proj_drop,
+                          path_drop=path_drop),
+        grid=(B,),
+        in_specs=[x_spec] + p_specs + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=x_spec,
+        out_shape=jax.ShapeDtypeStruct((B, N, D), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=110 * 1024 * 1024),
+        interpret=pltpu.InterpretParams() if interpret else False,
+    )(x, *params, seed)
+
+
+@functools.partial(jax.jit, static_argnames=("q_tile", "interpret",
+                                             "attn_drop", "proj_drop",
+                                             "path_drop"))
+def _bwd_call(x, params, seed, dy, *, q_tile, interpret, attn_drop,
+              proj_drop, path_drop):
+    B, N, D = x.shape
+    H = params[4].shape[0]
+    x_spec, p_specs, rep = _specs(N, D, H)
+    grad_shapes = [jax.ShapeDtypeStruct((B, N, D), jnp.float32)] + [
+        jax.ShapeDtypeStruct(p.shape, jnp.float32) for p in params]
+    grad_specs = [x_spec] + [rep(p.shape) for p in params]
+    return pl.pallas_call(
+        functools.partial(_block_bwd_kernel, H=H, q_tile=q_tile,
+                          attn_drop=attn_drop, proj_drop=proj_drop,
+                          path_drop=path_drop),
+        grid=(B,),
+        in_specs=[x_spec] + p_specs + [
+            pl.BlockSpec(memory_space=pltpu.SMEM), x_spec],
+        out_specs=tuple(grad_specs),
+        out_shape=tuple(grad_shapes),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),   # param grads accumulate
+            vmem_limit_bytes=110 * 1024 * 1024),
+        interpret=pltpu.InterpretParams() if interpret else False,
+    )(x, *params, seed, dy)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+def fused_layer_scale_block(x, params, q_tile, interpret, attn_drop,
+                            proj_drop, path_drop):
+    """x: (B, N, D); params: tuple of 19 arrays in kernel order
+    (ln1_g, ln1_b, w_qkv (D,3D), b_qkv, wl (H,H), bl (H,1), ww, bw,
+     w_proj (D,D), b_proj, gamma1, ln2_g, ln2_b, w1 (D,4D), b1,
+     w2 (4D,D), b2, gamma2, seed (1,) f32). Last tuple entry is the seed.
+    Returns the block output (B, N, D) in x.dtype."""
+    *ps, seed = params
+    return _fwd_call(x, tuple(ps), seed, q_tile=q_tile, interpret=interpret,
+                     attn_drop=attn_drop, proj_drop=proj_drop,
+                     path_drop=path_drop)
+
+
+def _fused_fwd(x, params, q_tile, interpret, attn_drop, proj_drop, path_drop):
+    y = fused_layer_scale_block(x, params, q_tile, interpret, attn_drop,
+                                proj_drop, path_drop)
+    return y, (x, params)
+
+
+def _fused_bwd(q_tile, interpret, attn_drop, proj_drop, path_drop, res, dy):
+    x, params = res
+    *ps, seed = params
+    grads = _bwd_call(x, tuple(ps), seed, dy, q_tile=q_tile,
+                      interpret=interpret, attn_drop=attn_drop,
+                      proj_drop=proj_drop, path_drop=path_drop)
+    dx = grads[0].astype(x.dtype)
+    dparams = tuple(g.astype(p.dtype) for g, p in zip(grads[1:], ps))
+    return dx, dparams + (jnp.zeros_like(seed),)
+
+
+fused_layer_scale_block.defvjp(_fused_fwd, _fused_bwd)

@@ -42,7 +42,8 @@ def _iou_cxcywh(a, b):
 
 def run_convergence(use_pallas: bool = False, dropout: float = 0.0,
                     epochs: int = EPOCHS, num_refines: int = 0,
-                    refine_start_epoch: int = 1000) -> dict:
+                    refine_start_epoch: int = 1000,
+                    use_fused_block: bool = False) -> dict:
     """Train the tiny recipe and return the chain milestones:
     {bce, iou_start, iou_end, ap50, bad_steps} (+ ap50_refine when
     num_refines > 0: the self-refinement stage's AP50, exercising the
@@ -65,7 +66,8 @@ def run_convergence(use_pallas: bool = False, dropout: float = 0.0,
     bb = CaiTConfig(img_size=64, patch_size=8, embed_dim=32, depth=3,
                     num_heads=2, num_classes=4, layer_to_det=2,
                     depth_token_only=2, init_scale=1.0,
-                    attn_drop_rate=dropout, use_pallas=use_pallas)
+                    attn_drop_rate=dropout, use_pallas=use_pallas,
+                    use_fused_block=use_fused_block)
     model = SPEDetector(backbone_cfg=bb, num_det_classes=cfg.num_det_classes,
                         num_queries=cfg.num_queries, num_refines=cfg.num_refines,
                         enc_layers=cfg.enc_layers, dec_layers=cfg.dec_layers,
