@@ -32,7 +32,8 @@ def main(argv=None):
     from spe_tpu.data.build import build_dataset
     from spe_tpu.data.loader import DataLoader
     from spe_tpu.models.build import build_model
-    from spe_tpu.parallel.mesh import init_distributed, make_mesh, replicated
+    from spe_tpu.parallel.mesh import (init_distributed, make_mesh,
+                                       replicated, warmup_collectives)
     from spe_tpu.train import engine
     from spe_tpu.train.checkpoint import restore_checkpoint, save_checkpoint
     from spe_tpu.train.optim import make_optimizer
@@ -54,6 +55,7 @@ def main(argv=None):
     model = build_model(cfg)
     mesh = make_mesh()
     n_dev = len(jax.devices())
+    warmup_collectives()  # form gloo/ICI cliques while ranks are aligned
 
     ds_train = build_dataset("train", cfg.dataset_file, cfg)
     ds_val = build_dataset("val", cfg.dataset_eval, cfg)
@@ -193,6 +195,24 @@ def main(argv=None):
         output_dir.mkdir(parents=True, exist_ok=True)
 
     print("Start training")
+    if jax.process_count() > 1 and cfg.fixed_size:
+        # pre-compile the train step on EVERY rank, then align via the
+        # coordination service before the first execution: the first
+        # post-compile collective must find all ranks within the (short)
+        # rendezvous window, and compile times can differ per rank (e.g.
+        # unequal persistent-cache hits — observed minutes of skew)
+        from spe_tpu.parallel.mesh import coordination_barrier, shard_batch
+
+        S = cfg.max_size
+        local_bs = loader_train.batch_size
+        dummy = shard_batch(mesh, {
+            "images": np.zeros((local_bs, S, S, 3), np.float32),
+            "pad_mask": np.zeros((local_bs, S, S), bool),
+            "img_label": np.ones((local_bs, cfg.num_classes), np.float32),
+        })
+        step_fn.lower(state, dummy, jax.random.PRNGKey(0),
+                      Gates.for_epoch(cfg, 0)).compile()
+        coordination_barrier("spe:train_step_compiled")
     best_key, best_val = None, -1.0
     t_start = time.time()
     for epoch in range(start_epoch, cfg.epochs):
@@ -201,22 +221,32 @@ def main(argv=None):
             step_fn, state, loader_train, epoch, cfg, gates,
             jax.random.fold_in(rng, epoch), mesh=mesh)
 
-        # run_eval is collective on the COCO path — every process enters;
-        # only process 0 saves checkpoints and writes the JSON log
+        # run_eval is collective on the COCO path — every process enters.
+        # Checkpoint saves are COLLECTIVE too (orbax syncs processes
+        # internally); the best-metric decision is broadcast from process 0
+        # on the VOC path (where only rank 0 evaluated). Only process 0
+        # writes the JSON log.
         eval_stats = run_eval(state.params, epoch)
-        if jax.process_index() == 0 and output_dir:
+        key = "mAP" if voc_eval else "AP50"
+        val = float(eval_stats.get(key, -1.0))
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            val = float(multihost_utils.broadcast_one_to_all(
+                np.float32(val)))
+        if output_dir:
             save_checkpoint(output_dir / "checkpoint", state, epoch, cfg)
             save_checkpoint(output_dir / f"checkpoint{epoch:04d}", state, epoch, cfg)
-            key = "AP50" if "AP50" in eval_stats else "mAP"
-            if eval_stats.get(key, -1) > best_val:
-                best_val = eval_stats[key]
+            if val > best_val:
+                best_val = val
                 save_checkpoint(output_dir / "checkpoint_best", state, epoch, cfg)
-            log = {**{f"train_{k}": v for k, v in train_stats.items()},
-                   **{f"test_{k}": v for k, v in eval_stats.items()
-                      if isinstance(v, (int, float))},
-                   "epoch": epoch, "n_parameters": int(n_params)}
-            with (output_dir / "log.txt").open("a") as f:
-                f.write(json.dumps(log) + "\n")
+            if jax.process_index() == 0:
+                log = {**{f"train_{k}": v for k, v in train_stats.items()},
+                       **{f"test_{k}": v for k, v in eval_stats.items()
+                          if isinstance(v, (int, float))},
+                       "epoch": epoch, "n_parameters": int(n_params)}
+                with (output_dir / "log.txt").open("a") as f:
+                    f.write(json.dumps(log) + "\n")
     print(f"Training time {time.time() - t_start:.0f}s")
     sync_end()
     return state

@@ -110,10 +110,20 @@ class LayerScaleBlock(nn.Module):
     def __call__(self, x, deterministic: bool = True):
         # NB: deterministic is positional-or-keyword (not kw-only) so
         # nn.remat can mark it static (jax.checkpoint has no static kwargs)
+        import os
+
+        import jax
+
         D = x.shape[-1]
         gamma1 = self.param("gamma_1", nn.initializers.constant(self.init_scale), (D,), jnp.float32)
         gamma2 = self.param("gamma_2", nn.initializers.constant(self.init_scale), (D,), jnp.float32)
-        if self.use_fused:
+        # fused kernel only where it can actually run compiled: on non-TPU
+        # backends the interpret-mode emulation is an io_callback that
+        # cannot be SPMD-partitioned (and is test-only anyway), so fall back
+        # to the standard path unless a test forces interpret via env
+        if self.use_fused and (
+                jax.default_backend() in ("tpu", "axon")
+                or os.environ.get("SPE_FUSED_INTERPRET") == "1"):
             return self._fused(x, gamma1, gamma2, deterministic)
         h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
         h = TalkingHeadsAttention(self.num_heads, attn_drop=self.attn_drop,
@@ -395,6 +405,23 @@ BACKBONE_REGISTRY = {
     "TSCAM_cait_XXS24": lambda **kw: _cait(384, 192, 24, 4, two_branch=False, **kw),
     "TSCAM_cait_XXS36": lambda **kw: _cait(384, 192, 36, 4, two_branch=False, **kw),
     "TSCAM_cait_XXS24_224": lambda **kw: _cait(224, 192, 24, 4, two_branch=False, **kw),
+    "TSCAM_cait_XXS36_224": lambda **kw: _cait(224, 192, 36, 4, two_branch=False, **kw),
+    # 224px / larger two-branch size variants completing the reference's
+    # size ladder (the reference builds these through the same two-branch
+    # class with per-size pretrained checkpoints, cait.py:1335-1948)
+    "TSCAM_cait_XXS24_224_Two_Branch": lambda **kw: _cait(224, 192, 24, 4, **kw),
+    "TSCAM_cait_XS24": lambda **kw: _cait(384, 288, 24, 6, two_branch=False, **kw),
+    "TSCAM_cait_S24_224": lambda **kw: _cait(224, 384, 24, 8, two_branch=False, **kw),
+    "TSCAM_cait_S24": lambda **kw: _cait(384, 384, 24, 8, two_branch=False, **kw),
+    "TSCAM_cait_S36": lambda **kw: _cait(384, 384, 36, 8, init_scale=1e-6,
+                                         two_branch=False, **kw),
+    "TSCAM_cait_M36": lambda **kw: _cait(384, 768, 36, 16, init_scale=1e-6,
+                                         two_branch=False, **kw),
+    "TSCAM_cait_M48": lambda **kw: _cait(448, 768, 48, 16, init_scale=1e-6,
+                                         two_branch=False, **kw),
+    # NOT implemented (dead upstream research variants, documented out of
+    # scope): TSCAM_cait_conv_* (conv stem), *_two_attn, *_concat_heads,
+    # *_woct0head_* — none reachable from the published recipes.
     # tiny config for smoke tests / CI (no reference analog)
     "TSCAM_cait_tiny": lambda **kw: _cait(64, 32, 4, 2, **kw),
 }

@@ -295,6 +295,14 @@ PRETRAINED_URLS = {
     "TSCAM_cait_XXS24": "https://dl.fbaipublicfiles.com/deit/XXS24_384.pth",
     "TSCAM_cait_XXS36": "https://dl.fbaipublicfiles.com/deit/XXS36_384.pth",
     "TSCAM_cait_XXS24_224": "https://dl.fbaipublicfiles.com/deit/XXS24_224.pth",
+    "TSCAM_cait_XXS36_224": "https://dl.fbaipublicfiles.com/deit/XXS36_224.pth",
+    "TSCAM_cait_XXS24_224_Two_Branch": "https://dl.fbaipublicfiles.com/deit/XXS24_224.pth",
+    "TSCAM_cait_XS24": "https://dl.fbaipublicfiles.com/deit/XS24_384.pth",
+    "TSCAM_cait_S24_224": "https://dl.fbaipublicfiles.com/deit/S24_224.pth",
+    "TSCAM_cait_S24": "https://dl.fbaipublicfiles.com/deit/S24_384.pth",
+    "TSCAM_cait_S36": "https://dl.fbaipublicfiles.com/deit/S36_384.pth",
+    "TSCAM_cait_M36": "https://dl.fbaipublicfiles.com/deit/M36_384.pth",
+    "TSCAM_cait_M48": "https://dl.fbaipublicfiles.com/deit/M48_448.pth",
 }
 
 

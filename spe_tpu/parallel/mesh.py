@@ -88,3 +88,34 @@ def init_distributed(world_size: int = 1, dist_url: str = "env://",
     jax.distributed.initialize(coordinator_address=coordinator,
                                num_processes=world_size,
                                process_id=process_id)
+
+
+def warmup_collectives() -> None:
+    """Form the cross-process collective cliques while ranks are still
+    aligned by the coordination-service init barrier.
+
+    Gloo (the CPU-collectives backend used by the 2-process integration
+    test; TPU pods use ICI and are unaffected) gives each rank only ~30s to
+    join a communicator's rendezvous. Heavy jit compiles can skew ranks by
+    more than that before the FIRST collective of a phase, so the driver
+    calls this right after init and again right before the train loop."""
+    if jax.process_count() <= 1:
+        return
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices("spe:warmup")      # device clique
+    multihost_utils.process_allgather(np.zeros(1, np.float32))  # host clique
+
+
+def coordination_barrier(name: str, timeout_s: int = 1800) -> None:
+    """Align processes via the coordination SERVICE (long, configurable
+    timeout) — unlike gloo collective rendezvous, which gives ~30s. Used
+    around heavy compile phases so the first post-compile collective finds
+    every rank within its window."""
+    if jax.process_count() <= 1:
+        return
+    from jax._src import distributed
+
+    client = distributed.global_state.client
+    if client is not None:
+        client.wait_at_barrier(name, timeout_in_ms=int(timeout_s * 1000))

@@ -15,10 +15,11 @@ from spe_tpu.train.train_step import TrainState
 
 
 def save_checkpoint(path, state: TrainState, epoch: int, cfg: SPEConfig) -> None:
-    """Called from process 0 only (reference save_on_master). State leaves
-    are pulled to host numpy first: params/opt_state are replicated, so each
-    process holds the full value, and saving plain numpy keeps orbax free of
-    cross-process barriers a single-process call would deadlock on."""
+    """COLLECTIVE in multi-process runs: orbax synchronizes processes
+    internally even for host-numpy trees, so EVERY process must call this
+    (the array data itself is written once — params/opt_state are pulled to
+    host numpy first and identical everywhere since they're replicated).
+    meta.json is written by process 0 only (save_on_master semantics)."""
     import jax
     import numpy as np
 
@@ -30,8 +31,9 @@ def save_checkpoint(path, state: TrainState, epoch: int, cfg: SPEConfig) -> None
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(path / "state", tree, force=True)
     ckptr.wait_until_finished()
-    meta = {"epoch": epoch, "config": dataclasses.asdict(cfg)}
-    (path / "meta.json").write_text(json.dumps(_jsonable(meta)))
+    if jax.process_index() == 0:
+        meta = {"epoch": epoch, "config": dataclasses.asdict(cfg)}
+        (path / "meta.json").write_text(json.dumps(_jsonable(meta)))
 
 
 def _jsonable(x):

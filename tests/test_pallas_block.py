@@ -142,10 +142,13 @@ def test_dropout_unbiased(setup):
     assert err < 0.08, err
 
 
-def test_backbone_fused_matches_standard(rng):
+def test_backbone_fused_matches_standard(rng, monkeypatch):
     """CaiTTwoBranch with use_fused_block must match the standard path
     (f32, deterministic), outputs AND gradients — param trees identical."""
     from spe_tpu.models.cait import CaiTConfig, CaiTTwoBranch
+
+    # on CPU the fused path falls back unless interpret is forced
+    monkeypatch.setenv("SPE_FUSED_INTERPRET", "1")
 
     imgs = jnp.asarray(rng.normal(size=(1, 32, 32, 3)).astype(np.float32))
     kw = dict(img_size=32, patch_size=8, embed_dim=16, depth=3, num_heads=4,
