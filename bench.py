@@ -64,10 +64,13 @@ def main():
     # dropout) is the shipped default — the benched config IS the config a
     # --preset voc0712 user trains with (batch size aside).
     # SPE_BENCH_FUSED_BLOCK=0 disables the whole-block fused kernel
-    # (ops/pallas_block.py, the preset default) for A/B ladders.
+    # (ops/pallas_block.py, the preset default) and SPE_BENCH_PALLAS_ATTN=0
+    # the per-flavor attention kernels, for A/B ladders.
     overrides = {}
     if os.environ.get("SPE_BENCH_FUSED_BLOCK") == "0":
         overrides["use_fused_block"] = False
+    if os.environ.get("SPE_BENCH_PALLAS_ATTN") == "0":
+        overrides["use_pallas_attention"] = False
     cfg = voc0712_preset(batch_size=BATCH, **overrides)
     model = build_model(cfg)
     n_dev = len(jax.devices())

@@ -14,6 +14,11 @@ Usage: PYTHONPATH=.:$PYTHONPATH python scripts_dev/ablate_step.py
 
 from __future__ import annotations
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
 from spe_tpu.utils.jax_setup import setup
 
 setup()
