@@ -69,10 +69,23 @@ def main():
         for st in out["stages"].values():
             s = s + jnp.sum(st["pred_logits"].astype(jnp.float32) ** 2) \
                   + jnp.sum(st["pred_boxes"].astype(jnp.float32) ** 2)
-        s = s + jnp.sum(out["backbone"]["cams_cls"].astype(jnp.float32) ** 2)
+        # cams_cls is stop_gradiented in the real train step (train_step.py)
+        s = s + jnp.sum(jax.lax.stop_gradient(
+            out["backbone"]["cams_cls"]).astype(jnp.float32) ** 2)
+        s = s + jnp.sum(out["backbone"]["x_logits"].astype(jnp.float32) ** 2)
         return s
-    fwd_bwd = jax.jit(jax.grad(model_loss))
-    add("fwd+bwd (model only)", bench(fwd_bwd, params, batch["images"], key, iters=8))
+
+    def _scalar_grad(loss):
+        # grads reduced to ONE scalar on device: returning the ~500-leaf
+        # grad tree through the axon tunnel costs seconds of per-buffer
+        # handling and would swamp the compute being measured
+        def f(*a):
+            g = jax.grad(loss)(*a)
+            return sum(jnp.vdot(v, v) for v in jax.tree_util.tree_leaves(g))
+        return jax.jit(f)
+
+    add("fwd+bwd (model only)",
+        bench(_scalar_grad(model_loss), params, batch["images"], key, iters=8))
 
     out0 = fwd(params, batch["images"])
     cams = out0["backbone"]["cams_cls"]
@@ -86,14 +99,39 @@ def main():
         model, p, b, k, cfg, g, num_devices=1)[0])
     add("fwd + pseudo + criteria (no bwd)", bench(loss_fn, params, batch, key, gates, iters=8))
 
-    grad_fn = jax.jit(lambda p, b, k, g: jax.grad(
-        lambda pp: compute_losses(model, pp, b, k, cfg, g, num_devices=1)[0])(p))
+    def full_loss(p, b, k, g):
+        return compute_losses(model, p, b, k, cfg, g, num_devices=1)[0]
+
+    grad_fn = jax.jit(lambda p, b, k, g: sum(
+        jnp.vdot(v, v) for v in jax.tree_util.tree_leaves(
+            jax.grad(full_loss)(p, b, k, g))))
     add("full loss fwd+bwd (no optimizer)", bench(grad_fn, params, batch, key, gates, iters=8))
 
     step = jax.jit(make_train_step(model, cfg, tx, num_devices=1))
     def run_step(s, b, k, g):
         return step(s, b, k, g)
     add("full train step", bench(run_step, state, batch, key, gates, iters=8))
+
+    # A/B: whole-layer fused encoder/decoder kernels (ops/pallas_encoder.py,
+    # ops/pallas_decoder.py)
+    cfg_f = voc0712_preset(batch_size=B, use_fused_layers=True)
+    model_f = build_model(cfg_f)
+
+    def model_loss_f(p, x, k):
+        out = model_f.apply(p, x, deterministic=False, rngs={"dropout": k})
+        s = 0.0
+        for st in out["stages"].values():
+            s = s + jnp.sum(st["pred_logits"].astype(jnp.float32) ** 2) \
+                  + jnp.sum(st["pred_boxes"].astype(jnp.float32) ** 2)
+        s = s + jnp.sum(jax.lax.stop_gradient(
+            out["backbone"]["cams_cls"]).astype(jnp.float32) ** 2)
+        s = s + jnp.sum(out["backbone"]["x_logits"].astype(jnp.float32) ** 2)
+        return s
+
+    fwd_f = jax.jit(lambda p, x: model_f.apply(p, x, deterministic=True))
+    add("fwd (fused enc/dec layers)", bench(fwd_f, params, batch["images"], iters=8))
+    add("fwd+bwd (fused enc/dec layers)",
+        bench(_scalar_grad(model_loss_f), params, batch["images"], key, iters=8))
 
     print("\n== ablation attribution (B8 512², stock voc0712 preset) ==")
     for name, ms in rows:

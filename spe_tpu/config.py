@@ -130,6 +130,9 @@ class SPEConfig:
     use_pallas_attention: bool = False
     # whole-block fused kernel for the CaiT patch blocks (ops/pallas_block.py)
     use_fused_block: bool = False
+    # whole-LAYER fused kernels for the encoder/decoder stack
+    # (ops/pallas_encoder.py)
+    use_fused_layers: bool = False
     # rematerialize backbone blocks under autodiff (memory for FLOPs)
     remat: bool = False
     # assignment solver: 'auction' (on-device) or 'hungarian_cpu' (oracle).
@@ -285,7 +288,7 @@ _FLAG_FIELDS = [f.name for f in dataclasses.fields(SPEConfig)]
 _STORE_TRUE = {
     "dilation", "pre_norm", "masks", "hungarian_multi", "drloc",
     "remove_difficult", "eval", "fixed_size", "use_pallas_attention",
-    "use_fused_block", "remat",
+    "use_fused_block", "use_fused_layers", "remat",
 }
 _SKIP = {"mesh_axes", "mesh_shape", "aux_loss"}
 

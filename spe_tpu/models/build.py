@@ -36,6 +36,7 @@ def build_model(cfg: SPEConfig) -> SPEDetector:
         pre_norm=cfg.pre_norm,
         position_embedding=cfg.position_embedding,
         use_pallas=cfg.use_pallas_attention,
+        use_fused_layers=cfg.use_fused_layers,
         masks=cfg.masks,
         dtype=dtype,
     )

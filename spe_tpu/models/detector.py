@@ -38,6 +38,9 @@ class SPEDetector(nn.Module):
     # models/position_encoding.py:88-97 build_position_encoding dispatch)
     position_embedding: str = "sine"
     use_pallas: bool = False  # fused attention kernels in encoder/cross-attn
+    # whole-LAYER fused kernels for the encoder/decoder stack
+    # (ops/pallas_encoder.py); takes precedence over use_pallas where it applies
+    use_fused_layers: bool = False
     masks: bool = False   # attach the segmentation head (reference DETRsegm)
     dtype: jnp.dtype = jnp.float32
 
@@ -84,7 +87,7 @@ class SPEDetector(nn.Module):
             num_encoder_layers=self.enc_layers, num_decoder_layers=self.dec_layers,
             dim_feedforward=self.dim_feedforward, dropout=self.dropout,
             num_refines=self.num_refines, normalize_before=self.pre_norm,
-            use_pallas=self.use_pallas,
+            use_pallas=self.use_pallas, use_fused_layers=self.use_fused_layers,
             dtype=self.dtype, name="transformer")(
             src, pos, key_padding_mask=key_padding, deterministic=deterministic)
 

@@ -20,7 +20,54 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from spe_tpu.models.attention import MultiheadAttention, ProjectionFreeAttention
+from spe_tpu.models.cait import _LNShell
 from spe_tpu.ops.embeds import gen_sineembed_for_position
+
+
+class _DShell(nn.Module):
+    """Declares nn.Dense-shaped params (lecun_normal kernel, zero bias)
+    without executing — the fused layer kernels consume the raw arrays;
+    param paths and init streams stay identical to the unfused tree."""
+
+    fin: int
+    fout: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (self.fin, self.fout), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (self.fout,), jnp.float32)
+        return k, b
+
+
+class _MHAShell(nn.Module):
+    """Param shell matching MultiheadAttention's tree (q/k/v/out projs)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        return tuple(_DShell(self.dim, self.dim, name=n)()
+                     for n in ("q_proj", "k_proj", "v_proj", "out_proj"))
+
+
+class _OutShell(nn.Module):
+    """Param shell matching ProjectionFreeAttention's tree (out_proj only)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        return _DShell(self.dim, self.dim, name="out_proj")()
+
+
+def _fused_allowed() -> bool:
+    import os
+
+    import jax
+
+    return (jax.default_backend() in ("tpu", "axon")
+            or os.environ.get("SPE_FUSED_INTERPRET") == "1")
 
 
 class MLP(nn.Module):
@@ -57,10 +104,13 @@ class TransformerEncoderLayer(nn.Module):
     dropout: float = 0.1
     normalize_before: bool = False
     use_pallas: bool = False
+    use_fused: bool = False  # whole-layer Pallas kernel (ops/pallas_encoder.py)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, src, pos, *, key_padding_mask=None, deterministic=True):
+        if self.use_fused and not self.normalize_before and _fused_allowed():
+            return self._fused(src, pos, key_padding_mask, deterministic)
         norm1 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")
         norm2 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")
         src2 = norm1(src) if self.normalize_before else src
@@ -81,6 +131,47 @@ class TransformerEncoderLayer(nn.Module):
         if not self.normalize_before:
             src = norm2(src)
         return src
+
+    def _fused(self, src, pos, key_padding_mask, deterministic):
+        import jax
+
+        from spe_tpu.ops.pallas_encoder import fused_encoder_layer
+
+        D = src.shape[-1]
+        (wq, bq), (wk, bk), (wv, bv), (wo, bo) = _MHAShell(
+            D, name="self_attn")()
+        g1, b1 = _LNShell(D, name="norm1")()
+        g2, b2 = _LNShell(D, name="norm2")()
+        w1, bb1 = _DShell(D, self.dim_feedforward, name="linear1")()
+        w2, bb2 = _DShell(self.dim_feedforward, D, name="linear2")()
+
+        rate = 0.0 if deterministic else float(self.dropout)
+        if rate > 0.0:
+            key = self.make_rng("dropout")
+            seed = jax.random.randint(key, (1,), 0, 2**31 - 1).astype(jnp.float32)
+        else:
+            seed = jnp.zeros((1,), jnp.float32)
+
+        B, N, _ = src.shape
+        if key_padding_mask is not None:
+            bias = jnp.where(key_padding_mask, -1e9, 0.0).astype(
+                jnp.float32).reshape(B, 1, N)
+        else:
+            bias = jnp.zeros((B, 1, N), jnp.float32)
+
+        dt = self.dtype
+        params = (
+            wq.astype(dt), bq.reshape(1, D), wk.astype(dt), bk.reshape(1, D),
+            wv.astype(dt), bv.reshape(1, D), wo.astype(dt), bo.reshape(1, D),
+            g1.reshape(1, D), b1.reshape(1, D),
+            w1.astype(dt), bb1.reshape(1, self.dim_feedforward),
+            w2.astype(dt), bb2.reshape(1, D),
+            g2.reshape(1, D), b2.reshape(1, D),
+            bias, seed,
+        )
+        interpret = jax.default_backend() not in ("tpu", "axon")
+        return fused_encoder_layer(src.astype(dt), pos.astype(dt), params,
+                                   self.num_heads, interpret, rate)
 
 
 class ConditionalDecoderLayer(nn.Module):
@@ -103,12 +194,18 @@ class ConditionalDecoderLayer(nn.Module):
     dim_feedforward: int
     dropout: float = 0.1
     use_pallas: bool = False
+    use_fused: bool = False  # whole-layer Pallas kernel (ops/pallas_decoder.py)
     num_sets: int = 1
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, tgt, memory, pos, query_pos, query_sine_embed, *,
-                 is_first: bool, key_padding_mask=None, deterministic=True):
+                 is_first: bool, key_padding_mask=None, deterministic=True,
+                 fused_qbias=None):
+        if self.use_fused and fused_qbias is not None and _fused_allowed():
+            return self._fused(tgt, memory, pos, query_pos, query_sine_embed,
+                               is_first, key_padding_mask, fused_qbias,
+                               deterministic)
         D = tgt.shape[-1]
         nh = self.num_heads
 
@@ -171,6 +268,65 @@ class ConditionalDecoderLayer(nn.Module):
         tgt = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm3")(tgt)
         return tgt
 
+    def _fused(self, tgt, memory, pos, query_pos, sine, is_first,
+               key_padding_mask, qbias, deterministic):
+        import jax
+
+        from spe_tpu.ops.pallas_decoder import fused_decoder_layer
+
+        D = tgt.shape[-1]
+        dt = self.dtype
+
+        def dense(name):
+            w, bb = _DShell(D, D, name=name)()
+            return w.astype(dt), bb.reshape(1, D)
+
+        ps = []
+        for n in ("sa_qcontent_proj", "sa_qpos_proj", "sa_kcontent_proj",
+                  "sa_kpos_proj", "sa_v_proj"):
+            ps += list(dense(n))
+        wo_sa, bo_sa = _OutShell(D, name="self_attn")()
+        ps += [wo_sa.astype(dt), bo_sa.reshape(1, D)]
+        g1, b1 = _LNShell(D, name="norm1")()
+        ps += [g1.reshape(1, D), b1.reshape(1, D)]
+        for n in ("ca_qcontent_proj", "ca_kcontent_proj", "ca_v_proj",
+                  "ca_kpos_proj"):
+            ps += list(dense(n))
+        if is_first:
+            ps += list(dense("ca_qpos_proj"))
+        ps += list(dense("ca_qpos_sine_proj"))
+        wo_ca, bo_ca = _OutShell(D, name="cross_attn")()
+        ps += [wo_ca.astype(dt), bo_ca.reshape(1, D)]
+        g2, b2 = _LNShell(D, name="norm2")()
+        ps += [g2.reshape(1, D), b2.reshape(1, D)]
+        w1, bb1 = _DShell(D, self.dim_feedforward, name="linear1")()
+        w2, bb2 = _DShell(self.dim_feedforward, D, name="linear2")()
+        ps += [w1.astype(dt), bb1.reshape(1, self.dim_feedforward),
+               w2.astype(dt), bb2.reshape(1, D)]
+        g3, b3 = _LNShell(D, name="norm3")()
+        ps += [g3.reshape(1, D), b3.reshape(1, D)]
+
+        rate = 0.0 if deterministic else float(self.dropout)
+        if rate > 0.0:
+            key = self.make_rng("dropout")
+            seed = jax.random.randint(key, (1,), 0, 2**31 - 1).astype(jnp.float32)
+        else:
+            seed = jnp.zeros((1,), jnp.float32)
+
+        B, N, _ = memory.shape
+        if key_padding_mask is not None:
+            bias = jnp.where(key_padding_mask, -1e9, 0.0).astype(
+                jnp.float32).reshape(B, 1, N)
+        else:
+            bias = jnp.zeros((B, 1, N), jnp.float32)
+
+        params = tuple(ps) + (bias, qbias, seed)
+        interpret = jax.default_backend() not in ("tpu", "axon")
+        return fused_decoder_layer(tgt.astype(dt), memory.astype(dt),
+                                   pos.astype(dt), query_pos.astype(dt),
+                                   sine.astype(dt), self.num_heads,
+                                   self.num_sets, interpret, rate, params)
+
 
 class ConditionalDecoder(nn.Module):
     """Decoder stack returning per-layer normed states + reference points
@@ -182,16 +338,35 @@ class ConditionalDecoder(nn.Module):
     d_model: int
     dropout: float = 0.1
     use_pallas: bool = False
+    use_fused: bool = False  # whole-layer kernels (ops/pallas_decoder.py)
     num_sets: int = 1  # stacked query sets along the query axis (see layer)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, tgt, memory, pos, query_pos, *, key_padding_mask=None,
                  deterministic=True):
+        # Whole-layer fusion pads each query set to a sublane multiple (Qp)
+        # ONCE for the entire stack; padded query keys are masked with -1e9
+        # in self-attention (qbias) and padded rows are dropped on return.
+        B, SQ, _ = tgt.shape
+        S = self.num_sets
+        Q = SQ // S
+        fused = self.use_fused and _fused_allowed()
+        qbias = None
+        if fused:
+            Qp = -(-Q // 8) * 8
+            if Qp != Q:
+                tgt = _pad_sets(tgt, S, Q, Qp)
+                query_pos = _pad_sets(query_pos, S, Q, Qp)
+            qbias = jnp.where(jnp.arange(Qp) < Q, 0.0, -1e9).astype(
+                jnp.float32).reshape(1, Qp)
+        else:
+            Qp = Q
+
         # reference points from query embeddings (transformer.py:216-217)
         ref_before_sigmoid = MLP(self.d_model, 2, 2, dtype=self.dtype,
                                  name="ref_point_head")(query_pos)
-        reference_points = nn.sigmoid(ref_before_sigmoid)  # (B, Q, 2)
+        reference_points = nn.sigmoid(ref_before_sigmoid)  # (B, S*Qp, 2)
 
         query_scale = MLP(self.d_model, self.d_model, 2, dtype=self.dtype,
                           name="query_scale")
@@ -207,15 +382,30 @@ class ConditionalDecoder(nn.Module):
             sine = sine.astype(output.dtype) * pos_transformation
             output = ConditionalDecoderLayer(
                 self.num_heads, self.dim_feedforward, dropout=self.dropout,
-                use_pallas=self.use_pallas, num_sets=self.num_sets,
+                use_pallas=self.use_pallas, use_fused=self.use_fused,
+                num_sets=self.num_sets,
                 dtype=self.dtype, name=f"layers_{layer_id}")(
                 output, memory, pos, query_pos, sine,
                 is_first=(layer_id == 0), key_padding_mask=key_padding_mask,
-                deterministic=deterministic)
+                deterministic=deterministic, fused_qbias=qbias)
             intermediate.append(final_norm(output))
 
-        hs = jnp.stack(intermediate)  # (L, B, Q, D)
+        hs = jnp.stack(intermediate)  # (L, B, S*Qp, D)
+        if fused and Qp != Q:
+            L = hs.shape[0]
+            hs = hs.reshape(L, B, S, Qp, -1)[:, :, :, :Q].reshape(
+                L, B, S * Q, -1)
+            reference_points = reference_points.reshape(B, S, Qp, 2)[
+                :, :, :Q].reshape(B, S * Q, 2)
         return hs, reference_points
+
+
+def _pad_sets(x, S, Q, Qp):
+    """(B, S*Q, D) -> (B, S*Qp, D), zero-padding each set's query rows."""
+    B, _, D = x.shape
+    x = x.reshape(B, S, Q, D)
+    x = jnp.pad(x, ((0, 0), (0, 0), (0, Qp - Q), (0, 0)))
+    return x.reshape(B, S * Qp, D)
 
 
 class ConditionalTransformer(nn.Module):
@@ -232,6 +422,7 @@ class ConditionalTransformer(nn.Module):
     num_refines: int = 1
     normalize_before: bool = False  # --pre_norm (reference main.py:83)
     use_pallas: bool = False
+    use_fused_layers: bool = False  # whole-layer Pallas kernels
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -247,7 +438,7 @@ class ConditionalTransformer(nn.Module):
             memory = TransformerEncoderLayer(
                 self.num_heads, self.dim_feedforward, dropout=self.dropout,
                 normalize_before=self.normalize_before,
-                use_pallas=self.use_pallas,
+                use_pallas=self.use_pallas, use_fused=self.use_fused_layers,
                 dtype=self.dtype, name=f"encoder_layers_{i}")(
                 memory, pos_embed, key_padding_mask=key_padding_mask,
                 deterministic=deterministic)
@@ -274,6 +465,7 @@ class ConditionalTransformer(nn.Module):
         decoder = ConditionalDecoder(
             self.num_decoder_layers, self.num_heads, self.dim_feedforward,
             self.d_model, dropout=self.dropout, use_pallas=self.use_pallas,
+            use_fused=self.use_fused_layers,
             num_sets=S, dtype=self.dtype, name="decoder")
 
         qe_all = jnp.concatenate(query_embeds, axis=0)  # (S*Q, D)
