@@ -7,6 +7,9 @@ Usage: PYTHONPATH=.:$PYTHONPATH python scripts_dev/convergence_tpu.py [rate]
 """
 
 import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from spe_tpu.utils.jax_setup import setup
 
@@ -17,8 +20,10 @@ from tests.convergence_recipe import run_convergence  # noqa: E402
 
 if __name__ == "__main__":
     rate = float(sys.argv[1]) if len(sys.argv) > 1 else 0.05
-    r = run_convergence(use_pallas=True, dropout=rate)
-    print("fused TPU run:", r)
+    fused_layers = "--fused-layers" in sys.argv
+    r = run_convergence(use_pallas=True, dropout=rate,
+                        use_fused_layers=fused_layers)
+    print(f"fused TPU run (fused_layers={fused_layers}):", r)
     assert r["bad_steps"] == 0
     assert r["bce"] < 0.3, r
     assert r["iou_end"] > 0.35, r

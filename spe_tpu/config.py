@@ -231,6 +231,10 @@ def voc0712_preset(**overrides) -> SPEConfig:
         # throughput, 49->64.5 img/s): parity + on-chip convergence
         # verified (tests/test_pallas_block.py; convergence run r3)
         use_fused_block=True,
+        # whole-layer fused encoder/decoder kernels (64.5->71 img/s; the
+        # win is mostly in-kernel dropout vs XLA threefry masks): parity +
+        # on-chip convergence verified (tests/test_pallas_{encoder,decoder})
+        use_fused_layers=True,
     )
     return cfg.replace(**overrides)
 
@@ -269,6 +273,7 @@ def coco17_preset(**overrides) -> SPEConfig:
                                # CAM budget truncation rare (ops/cam_boxes.py)
         use_pallas_attention=True,  # parity: scripts_dev/convergence_tpu.py
         use_fused_block=True,       # whole-block kernel (see voc0712 note)
+        use_fused_layers=True,      # whole-layer enc/dec kernels (voc note)
     )
     return cfg.replace(**overrides)
 

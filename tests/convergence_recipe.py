@@ -43,7 +43,8 @@ def _iou_cxcywh(a, b):
 def run_convergence(use_pallas: bool = False, dropout: float = 0.0,
                     epochs: int = EPOCHS, num_refines: int = 0,
                     refine_start_epoch: int = 1000,
-                    use_fused_block: bool = False) -> dict:
+                    use_fused_block: bool = False,
+                    use_fused_layers: bool = False) -> dict:
     """Train the tiny recipe and return the chain milestones:
     {bce, iou_start, iou_end, ap50, bad_steps} (+ ap50_refine when
     num_refines > 0: the self-refinement stage's AP50, exercising the
@@ -72,7 +73,8 @@ def run_convergence(use_pallas: bool = False, dropout: float = 0.0,
                         num_queries=cfg.num_queries, num_refines=cfg.num_refines,
                         enc_layers=cfg.enc_layers, dec_layers=cfg.dec_layers,
                         dim_feedforward=cfg.dim_feedforward, nheads=cfg.nheads,
-                        dropout=dropout, use_pallas=use_pallas)
+                        dropout=dropout, use_pallas=use_pallas,
+                        use_fused_layers=use_fused_layers)
 
     # objects >= 1/3 of the image: the 8x8 patch grid quantizes boxes to
     # ~patch size, so smaller objects cap pseudo-box IoU below the AP50 bar
