@@ -169,7 +169,7 @@ def bench_eval(cfg, model, params, n_dev):
     rng = np.random.default_rng(1)
     images = jnp.array(rng.normal(size=(B, IMG, IMG, 3)).astype(np.float32))
     pad_mask = jnp.zeros((B, IMG, IMG), bool)
-    sizes = jnp.full((B, 2), IMG, jnp.int64)
+    sizes = jnp.full((B, 2), IMG, jnp.int32)
 
     scores, keep = infer(params, images, pad_mask, sizes)
     _ = np.asarray(scores)  # sync after compile

@@ -113,18 +113,22 @@ def _connected_components(mask: jnp.ndarray, max_iters: int = 96) -> jnp.ndarray
     return labels
 
 
-def _cam_to_class_boxes(cam, cam_thr, area_ratio, k):
-    """Boxes for one (S, S) CAM. Returns (k, 4) xyxy in [0,1] + (k,) valid."""
-    S = cam.shape[0]
-    n = S * S
+def _cam_threshold_mask(cam, cam_thr):
+    """Min-max normalize one (S, S) CAM and threshold it.
+
+    Reference thresholds the uint8 image at int(cam_thr*255) with
+    THRESH_TOZERO (keep strictly greater), cams_deit.py:40-45."""
     cam = jnp.nan_to_num(cam.astype(jnp.float32))
     cam = cam - jnp.min(cam)
     cam = cam / jnp.maximum(jnp.max(cam), 1e-12)
-    # reference thresholds the uint8 image at int(cam_thr*255) with
-    # THRESH_TOZERO (keep strictly greater), cams_deit.py:40-45
-    mask = cam * 255.0 > jnp.floor(cam_thr * 255.0)
+    return cam * 255.0 > jnp.floor(cam_thr * 255.0)
 
-    labels = _connected_components(mask)
+
+def _labels_to_class_boxes(labels, area_ratio, k):
+    """Boxes for one (S, S) label grid. Returns (k, 4) xyxy in [0,1] +
+    (k,) valid."""
+    S = labels.shape[0]
+    n = S * S
     flat = labels.reshape(-1)
 
     # component areas scatter-free: sort labels, run-length encode
@@ -224,8 +228,19 @@ def cam_pseudo_boxes(
 
     sel_cams = jax.image.resize(sel_cams.astype(jnp.float32),
                                 (B, P, size, size), "bilinear")
+    masks = jax.vmap(jax.vmap(
+        lambda cam: _cam_threshold_mask(cam, cam_thr)))(sel_cams)
+    if jax.default_backend() in ("tpu", "axon"):
+        # the whole CC fixpoint as ONE kernel launch (the XLA while_loop
+        # path below is ~100 tiny HBM ops per sweep — launch-bound)
+        from spe_tpu.ops.pallas_cc import connected_components_pallas
+
+        labels = connected_components_pallas(
+            masks.reshape(B * P, size, size)).reshape(B, P, size, size)
+    else:
+        labels = jax.vmap(jax.vmap(_connected_components))(masks)
     boxes, valid = jax.vmap(jax.vmap(
-        lambda cam: _cam_to_class_boxes(cam, cam_thr, area_ratio, k)))(sel_cams)
+        lambda lab: _labels_to_class_boxes(lab, area_ratio, k)))(labels)
     # boxes: (B, P, k, 4) xyxy in [0,1]; valid: (B, P, k)
     valid = valid & (sel_label > 0)[:, :, None]
 

@@ -138,3 +138,25 @@ def test_max_pos_budget_matches_full(rng):
     np.testing.assert_array_equal(np.asarray(full["labels"]), np.asarray(budg["labels"]))
     np.testing.assert_allclose(np.asarray(full["boxes"]), np.asarray(budg["boxes"]),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_pallas_cc_matches_xla(rng):
+    """The single-kernel Pallas CC (interpret mode on CPU) reaches the same
+    fixpoint as the XLA while_loop implementation, incl. percolation noise."""
+    import jax
+
+    from spe_tpu.ops.pallas_cc import connected_components_pallas
+
+    masks = []
+    for p in (0.35, 0.5, 0.65):
+        masks.append(rng.uniform(size=(16, 16)) > p)
+    # adversarial: diagonal snake + checkerboard (8-connectivity joins it)
+    snake = np.zeros((16, 16), bool)
+    for i in range(16):
+        snake[i, (i * 3) % 16] = True
+    masks.append(snake)
+    masks.append(np.indices((16, 16)).sum(0) % 2 == 0)
+    batch = jnp.asarray(np.stack(masks))
+    got = np.asarray(connected_components_pallas(batch, interpret=True))
+    want = np.asarray(jax.vmap(_connected_components)(batch))
+    np.testing.assert_array_equal(got, want)

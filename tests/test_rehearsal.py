@@ -63,3 +63,13 @@ def test_milestone_checker():
         assert "AP50" in str(e)
     else:
         raise AssertionError("should have failed AP50 milestone")
+
+
+def test_coco_rehearsal_end_to_end(tmp_path):
+    mod = _load_run_accuracy()
+    args = types.SimpleNamespace(workdir=str(tmp_path), epochs=2,
+                                 output_dir=None)
+    last = mod.rehearse_coco(args)
+    assert "test_AP50" in last and "test_stage1_AP50" in last
+    out = tmp_path / "run"
+    assert list((out / "eval").glob("stage*_*.npz"))

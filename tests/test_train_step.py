@@ -1,6 +1,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import optax
 import pytest
 
 from spe_tpu.config import SPEConfig
@@ -126,6 +127,57 @@ def test_train_step_sharded_8cpu(rng):
     state2, metrics = step(state, batch, jax.random.PRNGKey(2), gates)
     assert np.isfinite(float(metrics["loss"]))
     assert int(state2.step) == 1
+
+
+def test_fused_optimizer_matches_optax(rng):
+    """The fused flat AdamW (default) reproduces the per-leaf optax chain
+    (clip -> 3-group AdamW -> StepLR) leaf-for-leaf over multiple steps,
+    through the lr drop and with clipping triggered."""
+    from spe_tpu.train.optim import _make_optax_optimizer
+
+    cfg = tiny_cfg(lr_drop=2, clip_max_norm=0.05)
+    params = {
+        "backbone": {
+            "blocks_0": {"w": jnp.array(rng.normal(size=(4, 3)), jnp.float32)},
+            "blocks_token_only_0": {"b": jnp.array(rng.normal(size=(5,)),
+                                                   jnp.float32)},
+        },
+        "transformer": {"w": jnp.array(rng.normal(size=(2, 2)), jnp.float32)},
+    }
+    tx_f = make_optimizer(cfg, steps_per_epoch=2, params=params)
+    tx_o = _make_optax_optimizer(cfg, steps_per_epoch=2, params=params)
+
+    p_f, s_f = params, tx_f.init(params)
+    p_o, s_o = params, tx_o.init(params)
+    for i in range(6):  # 3 epochs at steps_per_epoch=2 -> crosses lr_drop
+        g = jax.tree_util.tree_map(
+            lambda p: jnp.asarray(rng.normal(size=p.shape) * (10.0 if i == 1 else 1.0),
+                                  jnp.float32), p_f)
+        u_f, s_f = tx_f.update(g, s_f, p_f)
+        u_o, s_o = tx_o.update(g, s_o, p_o)
+        p_f = optax.apply_updates(p_f, u_f)
+        p_o = optax.apply_updates(p_o, u_o)
+        for a, b in zip(jax.tree_util.tree_leaves(p_f),
+                        jax.tree_util.tree_leaves(p_o)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6, atol=1e-7)
+
+
+def test_fused_optimizer_frozen_weights(rng):
+    """--frozen_weights: only segm_head params move under the fused path."""
+    cfg = tiny_cfg(frozen_weights="dummy.ckpt", masks=True)
+    params = {
+        "segm_head": {"w": jnp.ones((3, 3), jnp.float32)},
+        "backbone": {"blocks_0": {"w": jnp.ones((4,), jnp.float32)}},
+    }
+    tx = make_optimizer(cfg, steps_per_epoch=1, params=params)
+    s = tx.init(params)
+    g = jax.tree_util.tree_map(jnp.ones_like, params)
+    u, s = tx.update(g, s, params)
+    p2 = optax.apply_updates(params, u)
+    assert float(jnp.abs(p2["segm_head"]["w"] - 1.0).max()) > 0
+    np.testing.assert_array_equal(np.asarray(p2["backbone"]["blocks_0"]["w"]),
+                                  np.ones((4,), np.float32))
 
 
 def test_lr_schedule_step_drop(rng):
