@@ -42,6 +42,13 @@ from spe_tpu.ops.pallas_attention import _dropout_masks
 _C = 0.7978845608028654  # sqrt(2/pi)
 _A = 0.044715
 
+# Backward-kernel policy knob: keep the per-tile attention internals alive
+# across the MLP backward (fast) only while their total f32 footprint stays
+# under this; above it, stream — recompute each tile's internals inside the
+# backward loop. 80 MB leaves ~30 MB of the 110 MB VMEM budget for the
+# rest of the block's working set.
+STREAM_BWD_BYTES = 80 * 1024 * 1024
+
 
 def _gelu(u):
     t = jnp.tanh(_C * (u + _A * u * u * u))
@@ -195,7 +202,8 @@ def _block_bwd_kernel(x_ref, g1_ref, b1_ref, wqkv_ref, bqkv_ref, wl_ref,
                       dwl_ref, dbl_ref, dww_ref, dbw_ref, dwp_ref, dbp_ref,
                       dgam1_ref, dg2_ref, db2_ref, dw1_ref, dbb1_ref,
                       dw2_ref, dbb2_ref, dgam2_ref, *, H: int, q_tile: int,
-                      attn_drop: float, proj_drop: float, path_drop: float):
+                      attn_drop: float, proj_drop: float, path_drop: float,
+                      stream: bool):
     b = pl.program_id(0)
     x = x_ref[0]
     N, D = x.shape
@@ -210,7 +218,15 @@ def _block_bwd_kernel(x_ref, g1_ref, b1_ref, wqkv_ref, bqkv_ref, wl_ref,
                   db2_ref, dw1_ref, dbb1_ref, dw2_ref, dbb2_ref, dgam2_ref):
             r[...] = jnp.zeros_like(r)
 
-    # ---- recompute forward, stashing what the chain rule needs ----
+    # ---- recompute forward ----
+    # With stream=False the per-tile attention internals (logits/probs/z,
+    # ~3 f32 (q_tile, N) arrays per head per tile ≈ 48 MB at N=1024/H=4)
+    # are collected here and stay ALIVE across the whole MLP backward.
+    # That fits the 110 MB VMEM budget at recipe shapes and avoids any
+    # recompute; for larger N·N·H footprints _bwd_call flips stream=True,
+    # which re-recomputes each tile's internals inside the backward loop
+    # (one extra QK^T+mix+softmax per tile, ~13% of bwd FLOPs) so nothing
+    # per-tile outlives its loop iteration.
     h1n, xhat1, inv1 = _ln_fwd(x, g1_ref[0], b1_ref[0])
     h1n_c = h1n.astype(in_dt)
     qkv = _dot(h1n_c, wqkv_ref[...]) + bqkv_ref[0][None, :]
@@ -219,7 +235,7 @@ def _block_bwd_kernel(x_ref, g1_ref, b1_ref, wqkv_ref, bqkv_ref, wl_ref,
     k = [qkv[:, D + h * dh:D + (h + 1) * dh] for h in range(H)]
     v = [qkv[:, 2 * D + h * dh:2 * D + (h + 1) * dh] for h in range(H)]
 
-    saved = []
+    saved = None if stream else []
     o_heads = _attention(q, k, v, wl_ref, bl_ref, ww_ref, bw_ref, seed_ref, b,
                          H, dh, q_tile, attn_drop, collect=saved)
     o = jnp.concatenate([oh.astype(in_dt) for oh in o_heads], axis=1)
@@ -282,9 +298,11 @@ def _block_bwd_kernel(x_ref, g1_ref, b1_ref, wqkv_ref, bqkv_ref, wl_ref,
     dbp_ref[0] += jnp.sum(dao, axis=0)
     do = _dot(dao.astype(in_dt), wp_ref[...], tb=True)  # (N, D) f32
 
-    # per-head, per-tile attention backward (regenerates dropout masks in
-    # the same order as the forward _attention). No scatter updates: dq
-    # tiles are concatenated, dk/dv/mixing grads are whole-array adds.
+    # per-tile attention backward (no scatter updates: dq tiles are
+    # concatenated, dk/dv/mixing grads are whole-array adds). With
+    # stream=True each tile's internals are recomputed here (same seeds,
+    # same _dropout_masks order as the forward _attention per tile) and
+    # consumed immediately; otherwise they come from `saved`.
     dq_tiles = [[] for _ in range(H)]
     dk = [jnp.zeros((N, dh), jnp.float32) for _ in range(H)]
     dv = [jnp.zeros((N, dh), jnp.float32) for _ in range(H)]
@@ -292,16 +310,46 @@ def _block_bwd_kernel(x_ref, g1_ref, b1_ref, wqkv_ref, bqkv_ref, wl_ref,
     dbl = jnp.zeros(dbl_ref.shape, jnp.float32)
     dww = jnp.zeros(dww_ref.shape, jnp.float32)
     dbw = jnp.zeros(dbw_ref.shape, jnp.float32)
-    for s in saved:
-        sl = s["sl"]
+    for t0 in range(0, N, q_tile):
+        sl = slice(t0, t0 + q_tile)
+        if stream:
+            # -- recompute this tile's forward attention internals --
+            logits = [_dot(q[h][sl] * scale, k[h], tb=True) for h in range(H)]
+            mixed = []
+            for g in range(H):
+                s = logits[0] * wl_ref[0, g]
+                for h in range(1, H):
+                    s = s + logits[h] * wl_ref[h, g]
+                mixed.append(s + bl_ref[g, 0])
+            probs = []
+            for g in range(H):
+                mx = jnp.max(mixed[g], axis=-1, keepdims=True)
+                e = jnp.exp(mixed[g] - mx)
+                probs.append(e / jnp.sum(e, axis=-1, keepdims=True))
+            z = []
+            for g in range(H):
+                s = probs[0] * ww_ref[0, g]
+                for h in range(1, H):
+                    s = s + probs[h] * ww_ref[h, g]
+                z.append(s + bw_ref[g, 0])
+            if attn_drop > 0.0:
+                pltpu.prng_seed(_seed_for(seed_ref, b, t0 // q_tile))
+                keeps, kp = _dropout_masks((q_tile, N), H, attn_drop)
+                zd = [jnp.where(keeps[h], z[h] / kp, 0.0) for h in range(H)]
+            else:
+                keeps, kp, zd = None, 1.0, z
+        else:
+            s_t = saved[t0 // q_tile]
+            logits, probs, zd = s_t["logits"], s_t["probs"], s_t["zd"]
+            keeps, kp = s_t["keeps"], s_t["kp"]
+        # -- backward through this tile --
         do_t = [do[sl, h * dh:(h + 1) * dh] for h in range(H)]
         dzd = [_dot(do_t[h].astype(in_dt), v[h], tb=True) for h in range(H)]
         for h in range(H):
-            dv[h] = dv[h] + _dot(s["zd"][h].astype(in_dt),
+            dv[h] = dv[h] + _dot(zd[h].astype(in_dt),
                                  do_t[h].astype(in_dt), ta=True)
-        if s["keeps"] is not None:
-            dz = [jnp.where(s["keeps"][h], dzd[h] / s["kp"], 0.0)
-                  for h in range(H)]
+        if keeps is not None:
+            dz = [jnp.where(keeps[h], dzd[h] / kp, 0.0) for h in range(H)]
         else:
             dz = dzd
         # mix2 backward: z_g = sum_h p_h ww[h,g] + bw[g]
@@ -312,13 +360,13 @@ def _block_bwd_kernel(x_ref, g1_ref, b1_ref, wqkv_ref, bqkv_ref, wl_ref,
                 acc = acc + dz[g] * ww_ref[h, g]
             dp.append(acc)
         dww = dww + jnp.stack(
-            [jnp.stack([jnp.sum(s["probs"][h] * dz[g]) for g in range(H)])
+            [jnp.stack([jnp.sum(probs[h] * dz[g]) for g in range(H)])
              for h in range(H)])
         dbw = dbw + jnp.stack(
             [jnp.sum(dz[g]) for g in range(H)]).reshape(H, 1)
         # softmax backward
-        dmix = [s["probs"][g] * (dp[g] - jnp.sum(dp[g] * s["probs"][g],
-                                                 axis=-1, keepdims=True))
+        dmix = [probs[g] * (dp[g] - jnp.sum(dp[g] * probs[g],
+                                            axis=-1, keepdims=True))
                 for g in range(H)]
         # mix1 backward
         dl = []
@@ -328,7 +376,7 @@ def _block_bwd_kernel(x_ref, g1_ref, b1_ref, wqkv_ref, bqkv_ref, wl_ref,
                 acc = acc + dmix[g] * wl_ref[h, g]
             dl.append(acc)
         dwl = dwl + jnp.stack(
-            [jnp.stack([jnp.sum(s["logits"][h] * dmix[g]) for g in range(H)])
+            [jnp.stack([jnp.sum(logits[h] * dmix[g]) for g in range(H)])
              for h in range(H)])
         dbl = dbl + jnp.stack(
             [jnp.sum(dmix[g]) for g in range(H)]).reshape(H, 1)
@@ -409,10 +457,15 @@ def _bwd_call(x, params, seed, dy, *, q_tile, interpret, attn_drop,
     grad_shapes = [jax.ShapeDtypeStruct((B, N, D), jnp.float32)] + [
         jax.ShapeDtypeStruct(p.shape, jnp.float32) for p in params]
     grad_specs = [x_spec] + [rep(p.shape) for p in params]
+    # Collecting the attention internals keeps ~4 live f32 (N, N) planes
+    # per head across the MLP backward; stream (recompute per tile) once
+    # that footprint would crowd the 110 MB VMEM budget. At recipe shapes
+    # (N=1024, H=4 -> 64 MB) collect is ~5% faster end-to-end.
+    stream = 4 * H * N * N * 4 > STREAM_BWD_BYTES
     return pl.pallas_call(
         functools.partial(_block_bwd_kernel, H=H, q_tile=q_tile,
                           attn_drop=attn_drop, proj_drop=proj_drop,
-                          path_drop=path_drop),
+                          path_drop=path_drop, stream=stream),
         grid=(B,),
         in_specs=[x_spec] + p_specs + [
             pl.BlockSpec(memory_space=pltpu.SMEM), x_spec],

@@ -89,6 +89,36 @@ def test_vjp_parity(setup):
                                    atol=3e-4, err_msg=name)
 
 
+def test_vjp_parity_streamed(setup, monkeypatch):
+    """Force the streamed backward (per-tile recompute instead of the
+    collect-everything path) and require identical gradients — the two
+    modes must be numerically interchangeable, incl. dropout mask order."""
+    import spe_tpu.ops.pallas_block as pb
+    monkeypatch.setattr(pb, "STREAM_BWD_BYTES", 0)
+    pb._bwd_call.clear_cache()
+    x, blk, pdict = setup
+    params = _params_tuple(pdict, seed=5.0)
+
+    def loss(params, x, d):
+        y = fused_layer_scale_block(x, params, 16, True, d, d, 0.0)
+        return jnp.sum(jnp.sin(y.astype(jnp.float32)))
+
+    try:
+        for drop in (0.0, 0.15):
+            g_stream = jax.grad(loss, argnums=(0, 1))(params, x, drop)
+            pb.STREAM_BWD_BYTES = 1 << 40
+            pb._bwd_call.clear_cache()
+            g_collect = jax.grad(loss, argnums=(0, 1))(params, x, drop)
+            pb.STREAM_BWD_BYTES = 0
+            pb._bwd_call.clear_cache()
+            for a, b in zip(jax.tree.leaves(g_stream),
+                            jax.tree.leaves(g_collect)):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                           rtol=1e-6, atol=1e-6)
+    finally:
+        pb._bwd_call.clear_cache()
+
+
 def test_dropout_modes_run_and_are_masked(setup):
     """Dropout path: output differs from deterministic, zeros appear where
     expected, and the VJP runs (mask identity fwd/bwd is implied by the
