@@ -94,8 +94,11 @@ def _cleanup_unassigned(assigned: jnp.ndarray, Q: int) -> jnp.ndarray:
     in-range. k-th unassigned person takes the k-th free object.
     """
     T = assigned.shape[0]
-    taken = jnp.zeros((Q,), dtype=jnp.bool_).at[jnp.clip(assigned, 0, Q - 1)].set(
-        assigned >= 0)
+    # True-only scatter (unassigned rows write to the dropped slot Q): a
+    # clip-to-0 scatter of `assigned >= 0` could overwrite taken[0]=True
+    # with False when any person is unassigned, double-assigning object 0
+    taken = jnp.zeros((Q,), dtype=jnp.bool_).at[
+        jnp.where(assigned >= 0, assigned, Q)].set(True, mode="drop")
     free_rank = jnp.cumsum(~taken) - 1  # rank of each free object
     # object index for each rank
     obj_by_rank = jnp.full((Q,), Q - 1, dtype=jnp.int32).at[
@@ -168,17 +171,11 @@ def auction_assignment_stats(
     auction_assignment routes through here at zero extra cost.
     """
     Q, T = cost.shape
-    cost = cost.astype(jnp.float32)
-    # persons = targets, objects = queries; maximize benefit = -cost
-    benefit = -cost.T  # (T, Q)
-    # neutralize padded persons: constant benefit -> they soak up leftover
-    # objects without escalating prices
-    benefit = jnp.where(col_mask[:, None], benefit, 0.0)
-    # nan/inf guard: auction diverges on non-finite entries
-    benefit = jnp.nan_to_num(benefit, nan=0.0, posinf=0.0, neginf=0.0)
-    # normalize to unit spread so eps is scale-free
-    spread = jnp.maximum(jnp.max(benefit) - jnp.min(benefit), 1e-6)
-    benefit = benefit / spread
+    # persons = targets (padded ones neutralized to constant-0 benefit:
+    # they soak up leftover objects without escalating prices), objects =
+    # queries; maximize benefit = -cost, spread-normalized so eps is
+    # scale-free; nan/inf guarded (the auction diverges on non-finite)
+    benefit = _normalize_benefit(cost, col_mask)
 
     price = jnp.zeros((Q,), dtype=jnp.float32)
     # padded persons never bid (they'd only inflate prices of free objects);
@@ -191,6 +188,54 @@ def auction_assignment_stats(
     cleanup = jnp.maximum(jnp.sum((assigned == -1).astype(jnp.int32)) - n_over, 0)
     stats = {"iters": iters, "cleanup": cleanup}
     return _cleanup_unassigned(assigned, Q), col_mask, stats
+
+
+def _normalize_benefit(cost: jnp.ndarray, col_mask: jnp.ndarray):
+    """cost (Q, T) -> spread-normalized benefit (T, Q); shared by the XLA
+    and Pallas phase implementations so their inputs are bit-identical."""
+    benefit = -cost.astype(jnp.float32).T
+    benefit = jnp.where(col_mask[:, None], benefit, 0.0)
+    benefit = jnp.nan_to_num(benefit, nan=0.0, posinf=0.0, neginf=0.0)
+    spread = jnp.maximum(jnp.max(benefit) - jnp.min(benefit), 1e-6)
+    return benefit / spread
+
+
+def auction_assignment_stats_batched(
+    cost: jnp.ndarray,
+    col_mask: jnp.ndarray,
+    eps: float = 2e-3,
+    max_iters: int = 5000,
+    use_pallas: bool | None = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, dict]:
+    """Batched auction_assignment_stats over P problems at once.
+
+    cost: (P, Q, T), col_mask: (P, T). Same returns as vmapping
+    auction_assignment_stats, but on TPU the bidding fixpoint runs as ONE
+    Pallas kernel with the whole state VMEM-resident instead of a lockstep
+    HBM-bound while_loop (~6x on the recipe's 96 problems of 120x300 —
+    see ops/pallas_auction.py). The XLA vmap path remains the CPU/test
+    fallback; both produce identical assignments and iteration counts."""
+    if use_pallas is None:
+        use_pallas = jax.default_backend() in ("tpu", "axon")
+    if not use_pallas:
+        return jax.vmap(
+            lambda c, m: auction_assignment_stats(c, m, eps=eps,
+                                                  max_iters=max_iters))(
+            cost, col_mask)
+    from spe_tpu.ops.pallas_auction import auction_phase_pallas
+
+    P, Q, T = cost.shape
+    benefit = jax.vmap(_normalize_benefit)(cost, col_mask)
+    # off-TPU a forced pallas path runs in interpret mode (tests)
+    interpret = jax.default_backend() not in ("tpu", "axon")
+    assigned, iters = auction_phase_pallas(benefit, col_mask, eps=eps,
+                                           max_iters=max_iters,
+                                           interpret=interpret)
+    n_over = jnp.maximum(jnp.sum(col_mask.astype(jnp.int32), axis=1) - Q, 0)
+    cleanup = jnp.maximum(
+        jnp.sum((assigned == -1).astype(jnp.int32), axis=1) - n_over, 0)
+    row_for_col = jax.vmap(lambda a: _cleanup_unassigned(a, Q))(assigned)
+    return row_for_col, col_mask, {"iters": iters, "cleanup": cleanup}
 
 
 # ---------------------------------------------------------------------------

@@ -29,8 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from spe_tpu.ops import boxes as box_ops
-from spe_tpu.ops.assignment import (auction_assignment,
-                                    auction_assignment_stats,
+from spe_tpu.ops.assignment import (auction_assignment_stats_batched,
                                     hungarian_callback)
 from spe_tpu.ops.losses import image_label_bce, weighted_sigmoid_focal_loss
 
@@ -127,10 +126,11 @@ def match(pred_logits, pred_boxes, targets, *, method: str = "auction",
                                  "cleanup": jnp.zeros(B, jnp.int32)}
         return row_for_col
     if with_stats:
-        row_for_col, _, stats = jax.vmap(auction_assignment_stats)(
+        row_for_col, _, stats = auction_assignment_stats_batched(
             cost, targets["mask"])
         return row_for_col, stats
-    row_for_col, _ = jax.vmap(auction_assignment)(cost, targets["mask"])
+    row_for_col, _, _ = auction_assignment_stats_batched(
+        cost, targets["mask"])
     return row_for_col
 
 
@@ -355,11 +355,19 @@ def set_criterion_multi(stage_outs, targets_per_stage, rngs, num_boxes_per_stage
         [jnp.broadcast_to(t[k][None], (L,) + t[k].shape) for t in reps],
         axis=0) for k in ("boxes", "labels", "mask")}
 
-    rows, mstats = jax.vmap(lambda lg, bx, lb, tb, m: match(
-        lg, bx, {"labels": lb, "boxes": tb, "mask": m}, method=assignment,
-        cost_class=cost_class, cost_bbox=cost_bbox, cost_giou=cost_giou,
-        with_stats=True))(
-        LG, BX, TG["labels"], TG["boxes"], TG["mask"])   # (S*L, B, T)
+    # flatten (S*L, B, ...) -> (S*L*B, ...): match (and the batched auction
+    # under it) sees ONE problem batch, so on TPU the whole step's matchings
+    # run as a single Pallas fixpoint kernel (ops/pallas_auction.py)
+    SL, Bsz = LG.shape[0], LG.shape[1]
+    T = TG["boxes"].shape[2]
+    rows_f, mstats = match(
+        LG.reshape(SL * Bsz, *LG.shape[2:]),
+        BX.reshape(SL * Bsz, *BX.shape[2:]),
+        {k: TG[k].reshape(SL * Bsz, *TG[k].shape[2:])
+         for k in ("labels", "boxes", "mask")},
+        method=assignment, cost_class=cost_class, cost_bbox=cost_bbox,
+        cost_giou=cost_giou, with_stats=True)
+    rows = rows_f.reshape(SL, Bsz, T)                    # (S*L, B, T)
 
     outs = []
     for s in range(S):
