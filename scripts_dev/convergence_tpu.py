@@ -19,7 +19,8 @@ sys.path.insert(0, ".")
 from tests.convergence_recipe import run_convergence  # noqa: E402
 
 if __name__ == "__main__":
-    rate = float(sys.argv[1]) if len(sys.argv) > 1 else 0.05
+    pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+    rate = float(pos[0]) if pos else 0.05
     fused_layers = "--fused-layers" in sys.argv
     r = run_convergence(use_pallas=True, dropout=rate,
                         use_fused_layers=fused_layers)

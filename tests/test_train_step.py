@@ -163,6 +163,64 @@ def test_fused_optimizer_matches_optax(rng):
                                        rtol=1e-6, atol=1e-7)
 
 
+def test_flat_update_matches_per_leaf_tail(rng):
+    """tx.flat_update (the single-fusion step tail the train step uses by
+    default) reproduces the generic per-leaf composition — grad norm,
+    nan-sanitize, finite skip with decayed-then-restored moments, clip,
+    AdamW, per-group lr, apply — including a non-finite step."""
+    cfg = tiny_cfg(lr_drop=2, clip_max_norm=0.05)
+    params = {
+        "backbone": {
+            "blocks_0": {"w": jnp.array(rng.normal(size=(4, 3)), jnp.float32)},
+            "blocks_token_only_0": {"b": jnp.array(rng.normal(size=(5,)),
+                                                   jnp.float32)},
+        },
+        "transformer": {"w": jnp.array(rng.normal(size=(2, 2)), jnp.float32)},
+    }
+    tx = make_optimizer(cfg, steps_per_epoch=2, params=params)
+    assert hasattr(tx, "flat_update")
+
+    p_a, s_a = params, tx.init(params)   # flat_update path
+    p_b, s_b = params, tx.init(params)   # per-leaf reference composition
+    for i in range(6):
+        g = jax.tree_util.tree_map(
+            lambda p: jnp.asarray(rng.normal(size=p.shape) *
+                                  (10.0 if i == 1 else 1.0), jnp.float32),
+            p_a)
+        if i == 3:  # poison one leaf: the step must be skipped identically
+            g["transformer"]["w"] = g["transformer"]["w"].at[0, 0].set(jnp.nan)
+        loss_finite = jnp.bool_(True)
+
+        p_a, s_a, gn_a, fin_a = tx.flat_update(g, s_a, p_a, loss_finite)
+
+        # generic branch (mirrors make_train_step's non-fused tail)
+        gn_b = optax.global_norm(g)
+        fin_b = loss_finite & jnp.isfinite(gn_b)
+        safe = jax.tree_util.tree_map(
+            lambda x: jnp.nan_to_num(x, nan=0.0, posinf=0.0, neginf=0.0) *
+            fin_b.astype(x.dtype), g)
+        u, s_new = tx.update(safe, s_b, p_b)
+        p_b = optax.apply_updates(
+            p_b, jax.tree_util.tree_map(
+                lambda x: x * fin_b.astype(x.dtype), u))
+        s_b = jax.tree_util.tree_map(
+            lambda new, old: (new * fin_b.astype(new.dtype) +
+                              old * (1.0 - fin_b.astype(old.dtype)))
+            if jnp.issubdtype(jnp.asarray(new).dtype, jnp.floating)
+            else jnp.where(fin_b, new, old), s_new, s_b)
+
+        assert bool(fin_a) == bool(fin_b) == (i != 3)
+        np.testing.assert_allclose(float(gn_a), float(gn_b), rtol=1e-6)
+        for a, b in zip(jax.tree_util.tree_leaves(p_a),
+                        jax.tree_util.tree_leaves(p_b)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6, atol=1e-7)
+        for a, b in zip(jax.tree_util.tree_leaves(s_a),
+                        jax.tree_util.tree_leaves(s_b)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6, atol=1e-7)
+
+
 def test_fused_optimizer_frozen_weights(rng):
     """--frozen_weights: only segm_head params move under the fused path."""
     cfg = tiny_cfg(frozen_weights="dummy.ckpt", masks=True)
