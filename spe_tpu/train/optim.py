@@ -26,6 +26,7 @@ from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 from jax.flatten_util import ravel_pytree
 
@@ -61,6 +62,12 @@ class FusedAdamWState(NamedTuple):
     count: jnp.ndarray  # i32 scalar, number of updates applied so far
     mu: jnp.ndarray     # f32[n] first moment over the flat param vector
     nu: jnp.ndarray     # f32[n] second moment
+    # f32[n] per-element learning rate (the 3 reference param groups in flat
+    # form). Built ONCE at init as a plain runtime buffer and carried through
+    # the state unchanged — never constructed inside the traced step, where
+    # the ~500-broadcast concatenate cost XLA's constant folder minutes of
+    # compile time (round-3 regression: BENCH/MULTICHIP rc=124).
+    lr_vec: jnp.ndarray
 
 
 def _make_fused_optimizer(cfg: SPEConfig, steps_per_epoch: int, params: Any,
@@ -82,11 +89,21 @@ def _make_fused_optimizer(cfg: SPEConfig, steps_per_epoch: int, params: Any,
 
     def init(params):
         flat, _ = ravel_pytree(params)
+        # Per-element lr built host-side from static shapes (numpy, so it is
+        # a single literal even if init is traced): ravel_pytree concatenates
+        # leaves in tree_leaves order, each raveled, so zipping the two
+        # leaf lists reproduces the flat layout exactly.
+        lr_leaves = jax.tree_util.tree_leaves(leaf_lr)
+        sizes = [int(np.prod(l.shape)) for l in jax.tree_util.tree_leaves(params)]
+        lr_vec = (np.concatenate([np.full(s, lr, np.float32)
+                                  for lr, s in zip(lr_leaves, sizes)])
+                  if sizes else np.zeros((0,), np.float32))
         # mu and nu must be DISTINCT buffers: the train step donates the
         # whole state, and donating one aliased buffer twice is an XLA error
         return FusedAdamWState(jnp.zeros((), jnp.int32),
                                jnp.zeros(flat.shape, jnp.float32),
-                               jnp.zeros(flat.shape, jnp.float32))
+                               jnp.zeros(flat.shape, jnp.float32),
+                               jnp.asarray(lr_vec))
 
     def update(grads, state, params):
         g, unravel = ravel_pytree(grads)
@@ -106,7 +123,7 @@ def _make_fused_optimizer(cfg: SPEConfig, steps_per_epoch: int, params: Any,
         factor = jnp.where(state.count // spe >= cfg.lr_drop, 0.1, 1.0)
         updates = jax.tree_util.tree_map(
             lambda u, lr: (-factor * lr) * u, unravel(direction), leaf_lr)
-        return updates, FusedAdamWState(c1, mu, nu)
+        return updates, FusedAdamWState(c1, mu, nu, state.lr_vec)
 
     def flat_update(grads, state, params, loss_finite):
         """Whole train-step tail in flat-vector form: grad norm, non-finite
@@ -137,16 +154,15 @@ def _make_fused_optimizer(cfg: SPEConfig, steps_per_epoch: int, params: Any,
         nu_hat = nu / (1.0 - jnp.power(b2, cf))
         direction = mu_hat / (jnp.sqrt(nu_hat) + eps) + wd * p
         factor = jnp.where(state.count // spe >= cfg.lr_drop, 0.1, 1.0)
-        # per-element lr vector (constant-folded by XLA; one extra
-        # params-sized read per step ~ 0.2 ms, vs ~1500 per-leaf kernels)
-        lr_vec, _ = ravel_pytree(jax.tree_util.tree_map(
-            lambda lr, q: jnp.full(q.shape, lr, jnp.float32),
-            leaf_lr, params))
-        p_new = p + (-factor * fin) * lr_vec * direction
+        # per-element lr is a runtime buffer carried in the state (one extra
+        # params-sized read per step ~ 0.2 ms, vs ~1500 per-leaf kernels;
+        # built at init, NOT in-trace — see FusedAdamWState.lr_vec)
+        p_new = p + (-factor * fin) * state.lr_vec * direction
         new_state = FusedAdamWState(
             jnp.where(finite, c1, state.count),
             mu * fin + state.mu * (1.0 - fin),
-            nu * fin + state.nu * (1.0 - fin))
+            nu * fin + state.nu * (1.0 - fin),
+            state.lr_vec)
         return unravel(p_new), new_state, grad_norm, finite
 
     return FusedTx(init, update, flat_update)

@@ -160,6 +160,12 @@ def compute_losses(model, params, batch, rng, cfg: SPEConfig, gates: Gates,
         if name.startswith("ref_"):
             short = name.split("_", 2)[2]
             if short in weight:
+                # ref losses gate on refine_weight AND det_weight: the
+                # reference's warmup filter (engine.py:134-137) keeps ONLY
+                # img_label/drloc keys while epoch < warmup, which drops
+                # ref_* too — so a config with refine_start_epoch <
+                # warmup_cls_epochs still (correctly) has no ref losses
+                # until warmup ends, matching the reference
                 total = total + gates.refine_weight * gates.det_weight * weight[short] * v
         elif name in weight:
             gate = (jnp.float32(1.0) if name.startswith("img_label")

@@ -27,4 +27,6 @@ def setup(platform: str | None = None, cache_dir: str | None = None) -> None:
         cache_dir = os.environ.get("SPE_TPU_JAX_CACHE", str(root / ".jax_cache"))
     pathlib.Path(cache_dir).mkdir(parents=True, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # 0.3s: low enough that eager per-op compiles (~0.5s each on the 1-core
+    # CI box; un-jitted flax init dispatches hundreds of them) hit the cache
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)

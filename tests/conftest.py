@@ -20,6 +20,13 @@ import jax  # noqa: E402
 # which overrides the env var — force CPU explicitly for the test suite.
 jax.config.update("jax_platforms", "cpu")
 
+# persistent compilation cache: jit-heavy tests recompile identical tiny
+# programs every run; the cache turns repeat suite runs from minutes of
+# XLA compiles into cache hits.
+from spe_tpu.utils.jax_setup import setup  # noqa: E402
+
+setup(platform="cpu")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
