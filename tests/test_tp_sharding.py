@@ -39,3 +39,31 @@ def test_tp_sharded_forward_matches_replicated(rng):
     for k in ("x_logits", "x_cls_logits", "cams_cls"):
         np.testing.assert_allclose(np.asarray(out[k]), np.asarray(ref[k]),
                                    atol=2e-4, err_msg=k)
+
+
+def test_tp_refuses_fused_kernels():
+    """VERDICT r3 Next #5: TP x fused Pallas kernels is explicitly refused.
+    The fused whole-block/whole-layer kernels consume raw param arrays
+    inside one pallas_call; GSPMD cannot partition through them, so
+    tp_param_shardings(cfg=...) must raise with an actionable message when
+    the model axis >1 and any fusion flag is on."""
+    import pytest
+
+    from spe_tpu.config import SPEConfig
+    from spe_tpu.parallel.sharding_rules import check_tp_fused_compat
+
+    mesh_tp = make_mesh(num_data=4, num_model=2)
+    mesh_dp = make_mesh(num_data=8, num_model=1)
+    cfg_fused = SPEConfig(use_fused_block=True, use_pallas_attention=True)
+    cfg_plain = SPEConfig(use_fused_block=False, use_fused_layers=False,
+                          use_pallas_attention=False)
+
+    with pytest.raises(ValueError, match="use_fused_block"):
+        check_tp_fused_compat(cfg_fused, mesh_tp)
+    with pytest.raises(ValueError, match="no_use_pallas_attention"):
+        tp_param_shardings({"w": jnp.zeros((4, 4))}, mesh_tp, cfg_fused)
+
+    # fine: DP-only mesh with fused kernels, or TP with fusion off
+    check_tp_fused_compat(cfg_fused, mesh_dp)
+    check_tp_fused_compat(cfg_plain, mesh_tp)
+    tp_param_shardings({"w": jnp.zeros((4, 4))}, mesh_tp, cfg_plain)
