@@ -14,6 +14,7 @@ from spe_tpu.models.cait import CaiTConfig
 from spe_tpu.models.detector import SPEDetector
 from spe_tpu.train.optim import make_optimizer
 from spe_tpu.train.train_step import Gates, TrainState, make_train_step
+import pytest
 
 
 def _setup(frozen=None):
@@ -52,6 +53,7 @@ def test_loader_carries_masks():
                 np.testing.assert_allclose(area, box_area, atol=0.05)
 
 
+@pytest.mark.slow
 def test_mask_losses_in_train_step():
     cfg, model, loader = _setup()
     batch = next(iter(loader.epoch(0)))

@@ -146,6 +146,7 @@ def test_detector_end_to_end_shapes(rng):
     assert probs.mean() < 0.1
 
 
+@pytest.mark.slow
 def test_detector_dropout_rngs(rng):
     cfg = CaiTConfig(img_size=64, patch_size=16, embed_dim=32, depth=4, num_heads=2,
                      num_classes=5, layer_to_det=3, depth_token_only=2,

@@ -172,6 +172,7 @@ def test_dropout_unbiased(setup):
     assert err < 0.08, err
 
 
+@pytest.mark.slow
 def test_backbone_fused_matches_standard(rng, monkeypatch):
     """CaiTTwoBranch with use_fused_block must match the standard path
     (f32, deterministic), outputs AND gradients — param trees identical."""

@@ -4,6 +4,7 @@ import numpy as np
 
 from spe_tpu.ops.pallas_attention import talking_heads_reference
 from spe_tpu.ops.pallas_attention_bwd import fused_talking_heads
+import pytest
 
 
 def _inputs(rng, B=2, H=4, N=64, dh=16):
@@ -57,6 +58,7 @@ def test_fused_multi_tile_consistency(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_model_pallas_flag_equivalence(rng):
     """CaiTTwoBranch with use_pallas=True (interpret on CPU) matches the
     einsum model in outputs and gradients."""

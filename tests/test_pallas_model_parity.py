@@ -9,6 +9,7 @@ import numpy as np
 
 from spe_tpu.models.cait import CaiTConfig
 from spe_tpu.models.detector import SPEDetector
+import pytest
 
 
 def _build(use_pallas):
@@ -42,6 +43,7 @@ def test_detector_pallas_matches_einsum(rng):
                                np.asarray(o0["backbone"]["x_logits"]), atol=1e-4)
 
 
+@pytest.mark.slow
 def test_detector_pallas_grads_match(rng):
     m0 = _build(False)
     m1 = _build(True)

@@ -186,6 +186,7 @@ def test_postprocess_panoptic_small_segment_filtered():
     assert (out["id_map"] == 1).all()
 
 
+@pytest.mark.slow
 def test_train_step_skips_nonfinite_update():
     from spe_tpu.config import SPEConfig
     from spe_tpu.models.cait import CaiTConfig

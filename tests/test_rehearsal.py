@@ -8,6 +8,7 @@ import importlib.util
 import json
 import types
 from pathlib import Path
+import pytest
 
 REPO = Path(__file__).resolve().parent.parent
 
@@ -42,6 +43,7 @@ def test_mini_voc_generator_formats(tmp_path):
     assert any(len(v) for v in gt.values())
 
 
+@pytest.mark.slow
 def test_rehearsal_end_to_end(tmp_path):
     mod = _load_run_accuracy()
     args = types.SimpleNamespace(workdir=str(tmp_path), epochs=2,
@@ -65,6 +67,7 @@ def test_milestone_checker():
         raise AssertionError("should have failed AP50 milestone")
 
 
+@pytest.mark.slow
 def test_coco_rehearsal_end_to_end(tmp_path):
     mod = _load_run_accuracy()
     args = types.SimpleNamespace(workdir=str(tmp_path), epochs=2,

@@ -51,6 +51,7 @@ def tiny_batch(rng, B=2, C=5):
 # --no_aux_loss (reference main.py:89-90)
 # ---------------------------------------------------------------------------
 
+@pytest.mark.slow
 def test_no_aux_loss_drops_aux_terms(rng):
     cfg = tiny_cfg()
     model = tiny_model(cfg)

@@ -18,6 +18,7 @@ from spe_tpu.parallel.mesh import make_mesh
 from spe_tpu.parallel.sharding_rules import tp_param_shardings
 from spe_tpu.train.optim import make_optimizer
 from spe_tpu.train.train_step import Gates, TrainState, make_train_step
+import pytest
 
 
 def _cfg():
@@ -79,6 +80,7 @@ def test_tp_detector_forward_matches_replicated(rng):
             np.asarray(ref["stages"][r]["pred_boxes"]), atol=3e-5)
 
 
+@pytest.mark.slow
 def test_tp_train_step_matches_replicated(rng):
     assert len(jax.devices()) == 8
     cfg = _cfg()

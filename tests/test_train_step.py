@@ -80,6 +80,7 @@ def test_param_groups():
     assert param_group(("transformer", "decoder", "layers_0")) == "body"
 
 
+@pytest.mark.slow
 def test_train_step_updates_and_is_finite(rng):
     cfg = tiny_cfg()
     model = tiny_model(cfg)
@@ -102,6 +103,7 @@ def test_train_step_updates_and_is_finite(rng):
     assert np.isfinite(float(m3["loss"]))
 
 
+@pytest.mark.slow
 def test_train_step_sharded_8cpu(rng):
     """DP over the 8-device virtual CPU mesh: batch sharded on 'data',
     params replicated; one step runs and stays finite."""
@@ -238,6 +240,7 @@ def test_fused_optimizer_frozen_weights(rng):
                                   np.ones((4,), np.float32))
 
 
+@pytest.mark.slow
 def test_lr_schedule_step_drop(rng):
     cfg = tiny_cfg(lr_drop=2)
     model = tiny_model(cfg)
