@@ -152,8 +152,11 @@ def main(argv=None):
         if voc_eval:
             if jax.process_index() != 0:
                 return {}
+            res_dir = (Path(cfg.output_dir) / "voc_results"
+                       if cfg.write_voc_results and cfg.output_dir else None)
             stats = engine.evaluate_voc(model, params, loader_val, ds_val, cfg,
-                                        with_flip=cfg.eval)
+                                        with_flip=cfg.eval,
+                                        results_dir=res_dir)
             print(f"VOC mAP: {stats['mAP']:.4f}  CorLoc: {stats['CorLoc']:.4f}")
         else:
             # main_coco.py:360-368 evaluates every refine head per epoch

@@ -100,6 +100,10 @@ class SPEConfig:
     resume: str = ""
     start_epoch: int = 0
     eval: bool = False
+    # dump reference-format VOCdevkit result files during VOC eval
+    # (<output_dir>/voc_results/VOC{year}/Main/comp4_det_test_{cls}.txt,
+    # reference voc_voc.py:366-391) so the official devkit can cross-check
+    write_voc_results: bool = False
     num_workers: int = 2
     max_size: int = 448
     fixed_size: bool = False

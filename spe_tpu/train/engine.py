@@ -223,8 +223,13 @@ def _flip_merge(out_n, out_f, bb_n=None, bb_f=None):
 def evaluate_voc(model, params, loader, dataset, cfg: SPEConfig,
                  refine_stage: int = 0, with_flip: bool = False,
                  keep: int = 300, nms_iou: float = 0.5,
-                 use_07_metric: bool = True) -> Dict[str, float]:
-    """VOC mAP + CorLoc over a VOCDevkitDataset."""
+                 use_07_metric: bool = True,
+                 results_dir=None) -> Dict[str, float]:
+    """VOC mAP + CorLoc over a VOCDevkitDataset.
+
+    results_dir: when set, additionally dump reference-format VOCdevkit
+    result files (comp4_det_test_{cls}.txt, voc_voc.py:366-391) so the
+    official devkit tools can cross-check the detections."""
     num_classes = len(dataset.classes)
     all_dets = {c + 1: [] for c in range(num_classes)}
     top_boxes = {c + 1: {} for c in range(num_classes)}
@@ -281,6 +286,12 @@ def evaluate_voc(model, params, loader, dataset, cfg: SPEConfig,
                 if (idx not in top_scores[c]) or scores[b][i] > top_scores[c][idx]:
                     top_scores[c][idx] = float(scores[b][i])
                     top_boxes[c][idx] = boxes[b][i].tolist()
+
+    if results_dir is not None:
+        from spe_tpu.data.voc_eval import write_voc_results_files
+
+        write_voc_results_files(all_dets, lambda k: dataset.items[k],
+                                results_dir, dataset.classes)
 
     gt = dataset.eval_ground_truth()
     det_stats = voc_eval_all(all_dets, gt, use_07_metric=use_07_metric)

@@ -138,3 +138,36 @@ def test_merge_across_processes_single_host_noop():
                 "score": 0.9}])
     merge_across_processes(ev)  # process_count == 1 -> no-op
     assert abs(ev.summarize()["AP50"] - 1.0) < 1e-6
+
+
+def test_voc_results_file_roundtrip(tmp_path):
+    """Devkit result-file dump compatibility (reference voc_voc.py:366-391):
+    byte format '{name} {score:.3f} {x1+1:.1f} ...' (1-based), one file per
+    (year, class); read_voc_results_file inverts it to 0-based boxes."""
+    from spe_tpu.data.voc_eval import (read_voc_results_file,
+                                       write_voc_results_files)
+
+    items = [("VOC2007", "000005"), ("VOC2007", "000012"),
+             ("VOC2012", "2008_000001")]
+    classes = ["aeroplane", "bicycle"]
+    all_dets = {
+        1: [(0, 0.91234, [10.0, 20.0, 110.5, 220.25]),
+            (2, 0.5, [1.0, 2.0, 3.0, 4.0])],
+        2: [(1, 0.25, [0.0, 0.0, 50.0, 60.0])],
+    }
+    written = write_voc_results_files(all_dets, lambda k: items[k],
+                                      tmp_path, classes)
+    assert sorted(p.split("/")[-3:] for p in written) == [
+        ["VOC2007", "Main", "comp4_det_test_aeroplane.txt"],
+        ["VOC2007", "Main", "comp4_det_test_bicycle.txt"],
+        ["VOC2012", "Main", "comp4_det_test_aeroplane.txt"],
+    ]
+    line = (tmp_path / "VOC2007" / "Main" /
+            "comp4_det_test_aeroplane.txt").read_text().splitlines()[0]
+    assert line == "000005 0.912 11.0 21.0 111.5 221.2"  # 1-based, %.3f/%.1f
+
+    back = read_voc_results_file(
+        tmp_path / "VOC2007" / "Main" / "comp4_det_test_aeroplane.txt")
+    assert back[0][0] == "000005"
+    assert abs(back[0][1] - 0.912) < 1e-9
+    assert back[0][2] == [10.0, 20.0, 110.5, 220.2]  # %.1f rounding only
