@@ -50,7 +50,7 @@ def main():
     }
     params = jax.jit(lambda: model.init(jax.random.PRNGKey(0), batch["images"][:1]))()
     tx = make_optimizer(cfg, steps_per_epoch=1000, params=params)
-    state = TrainState(jnp.int32(0), params, tx.init(params))
+    state = TrainState(jnp.int32(0), params, tx.init(params), jnp.int32(0))
     gates = Gates.for_epoch(cfg, epoch=20)
     key = jax.random.PRNGKey(7)
 

@@ -85,7 +85,7 @@ def analyze(name, img, batch_per_dev, remat, tp):
     # make_optimizer only walks the tree structure — struct leaves suffice
     tx = make_optimizer(cfg, steps_per_epoch=10, params=params)
     state_shape = jax.eval_shape(
-        lambda p: TrainState(jnp.int32(0), p, tx.init(p)), params)
+        lambda p: TrainState(jnp.int32(0), p, tx.init(p), jnp.int32(0)), params)
 
     rules = tp_param_shardings(state_shape, mesh)
     b_sh = {"images": NamedSharding(mesh, P("data")),

@@ -46,7 +46,7 @@ def build_step(use_pallas: bool):
     }
     params = jax.jit(lambda: model.init(jax.random.PRNGKey(0), batch["images"][:1]))()
     tx = make_optimizer(cfg, steps_per_epoch=1000, params=params)
-    state = TrainState(jnp.int32(0), params, tx.init(params))
+    state = TrainState(jnp.int32(0), params, tx.init(params), jnp.int32(0))
     rep = replicated(mesh)
     state = jax.device_put(state, rep)
     batch = shard_batch(mesh, batch)
@@ -101,6 +101,41 @@ def parse_xplane(path: str):
     return per_op, per_cat, total
 
 
+class _TraceTimeout(Exception):
+    pass
+
+
+def _capture_window(step, state, batch, gates, key, n_steps, budget_s=120):
+    """One trace window, SIGALRM-bounded (VERDICT r3 #6: the full-step
+    trace used to hang through the tunnel with no way to recover; a
+    bounded window either survives or raises so the caller can shrink it).
+    Returns (state, ok)."""
+    import signal
+
+    def _alarm(signum, frame):
+        raise _TraceTimeout()
+
+    old = signal.signal(signal.SIGALRM, _alarm)
+    signal.alarm(budget_s)
+    try:
+        jax.profiler.start_trace(TRACE_DIR)
+        try:
+            for i in range(1, 1 + n_steps):
+                state, metrics = step(state, batch,
+                                      jax.random.fold_in(key, i), gates)
+            _ = float(metrics["loss"])  # sync through the tunnel
+        finally:
+            jax.profiler.stop_trace()
+        return state, True
+    except _TraceTimeout:
+        print(f"trace window of {n_steps} step(s) hung past {budget_s}s; "
+              f"shrinking", flush=True)
+        return state, False
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
+
+
 def main():
     use_pallas = "--einsum" not in sys.argv
     step, state, batch, gates = build_step(use_pallas)
@@ -109,10 +144,16 @@ def main():
     state, metrics = step(state, batch, jax.random.fold_in(key, 0), gates)
     _ = float(metrics["loss"])
     os.makedirs(TRACE_DIR, exist_ok=True)
-    with jax.profiler.trace(TRACE_DIR):
-        for i in range(1, 4):
-            state, metrics = step(state, batch, jax.random.fold_in(key, i), gates)
-        _ = float(metrics["loss"])
+    n_traced = None
+    for n_steps in (3, 1, 1):  # shrink, then one retry at the smallest
+        state, ok = _capture_window(step, state, batch, gates, key, n_steps)
+        if ok:
+            n_traced = n_steps
+            break
+    if n_traced is None:
+        print("TRACE FAILED: every window hung — fall back to "
+              "scripts_dev/ablate_step.py for attribution")
+        return
 
     files = sorted(glob.glob(f"{TRACE_DIR}/**/*.xplane.pb", recursive=True),
                    key=os.path.getmtime)
@@ -121,7 +162,7 @@ def main():
         return
     per_op, per_cat, total = parse_xplane(files[-1])
     print(f"\n== device time attribution ({'fused' if use_pallas else 'einsum'}; "
-          f"3 steps, total {total:.1f} ms) ==")
+          f"{n_traced} step(s), total {total:.1f} ms) ==")
     for cat, ms in per_cat.most_common():
         print(f"{ms:9.2f} ms {100*ms/max(total,1e-9):5.1f}%  {cat}")
     print("\n== top 25 ops ==")

@@ -120,7 +120,7 @@ def main(argv=None):
 
     steps_per_epoch = max(loader_train.steps_per_epoch(), 1)
     tx = make_optimizer(cfg, steps_per_epoch, params)
-    state = TrainState(jnp.int32(0), params, tx.init(params))
+    state = TrainState(jnp.int32(0), params, tx.init(params), jnp.int32(0))
 
     if cfg.frozen_weights:
         # load detector weights for segmentation-only training (reference

@@ -88,7 +88,7 @@ def run_convergence(use_pallas: bool = False, dropout: float = 0.0,
 
     params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
     tx = make_optimizer(cfg, steps_per_epoch=8, params=params)
-    state = TrainState(jnp.int32(0), params, tx.init(params))
+    state = TrainState(jnp.int32(0), params, tx.init(params), jnp.int32(0))
     step = jax.jit(make_train_step(model, cfg, tx), donate_argnums=(0,))
     rng = jax.random.PRNGKey(1)
 

@@ -62,7 +62,7 @@ def test_mask_losses_in_train_step():
                   "gt_mask", "gt_masks")}
     params = model.init(jax.random.PRNGKey(0), b["images"][:1])
     tx = make_optimizer(cfg, steps_per_epoch=2, params=params)
-    state = TrainState(jnp.int32(0), params, tx.init(params))
+    state = TrainState(jnp.int32(0), params, tx.init(params), jnp.int32(0))
     step = jax.jit(make_train_step(model, cfg, tx))
     gates = Gates.for_epoch(cfg, epoch=20)
     state2, metrics = step(state, b, jax.random.PRNGKey(1), gates)
@@ -80,7 +80,7 @@ def test_frozen_weights_trains_only_segm_head():
                   "gt_mask", "gt_masks")}
     params = model.init(jax.random.PRNGKey(0), b["images"][:1])
     tx = make_optimizer(cfg, steps_per_epoch=2, params=params)
-    state = TrainState(jnp.int32(0), params, tx.init(params))
+    state = TrainState(jnp.int32(0), params, tx.init(params), jnp.int32(0))
     step = jax.jit(make_train_step(model, cfg, tx))
     state2, _ = step(state, b, jax.random.PRNGKey(1), Gates.for_epoch(cfg, 20))
 

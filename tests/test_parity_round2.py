@@ -212,7 +212,7 @@ def test_train_step_skips_nonfinite_update():
     label = jnp.zeros((2, 3)).at[:, 0].set(1.0)
     params = model.init(jax.random.PRNGKey(0), imgs)
     tx = make_optimizer(cfg, steps_per_epoch=5, params=params)
-    state = TrainState(jnp.int32(0), params, tx.init(params))
+    state = TrainState(jnp.int32(0), params, tx.init(params), jnp.int32(0))
     step = jax.jit(make_train_step(model, cfg, tx))
     gates = Gates.for_epoch(cfg, epoch=20)
 

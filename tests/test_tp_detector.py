@@ -96,7 +96,7 @@ def test_tp_train_step_matches_replicated(rng):
     }
     params = model.init(jax.random.PRNGKey(0), batch["images"])
     tx = make_optimizer(cfg, steps_per_epoch=10, params=params)
-    state = TrainState(jnp.int32(0), params, tx.init(params))
+    state = TrainState(jnp.int32(0), params, tx.init(params), jnp.int32(0))
     gates = Gates.for_epoch(cfg, epoch=20)
     step = make_train_step(model, cfg, tx, num_devices=2)
 

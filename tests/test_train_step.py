@@ -87,7 +87,7 @@ def test_train_step_updates_and_is_finite(rng):
     batch = tiny_batch(rng)
     params = model.init(jax.random.PRNGKey(0), batch["images"])
     tx = make_optimizer(cfg, steps_per_epoch=10, params=params)
-    state = TrainState(jnp.int32(0), params, tx.init(params))
+    state = TrainState(jnp.int32(0), params, tx.init(params), jnp.int32(0))
     step = jax.jit(make_train_step(model, cfg, tx))
     gates = Gates.for_epoch(cfg, epoch=20)
     state2, metrics = step(state, batch, jax.random.PRNGKey(2), gates)
@@ -118,7 +118,7 @@ def test_train_step_sharded_8cpu(rng):
     batch = tiny_batch(rng, B=8)
     params = model.init(jax.random.PRNGKey(0), batch["images"])
     tx = make_optimizer(cfg, steps_per_epoch=10, params=params)
-    state = TrainState(jnp.int32(0), params, tx.init(params))
+    state = TrainState(jnp.int32(0), params, tx.init(params), jnp.int32(0))
 
     rep = replicated(mesh)
     state = jax.device_put(state, rep)
@@ -247,7 +247,7 @@ def test_lr_schedule_step_drop(rng):
     batch = tiny_batch(rng)
     params = model.init(jax.random.PRNGKey(0), batch["images"])
     tx = make_optimizer(cfg, steps_per_epoch=1, params=params)
-    state = TrainState(jnp.int32(0), params, tx.init(params))
+    state = TrainState(jnp.int32(0), params, tx.init(params), jnp.int32(0))
     step = jax.jit(make_train_step(model, cfg, tx))
     gates = Gates.for_epoch(cfg, epoch=20)
     # run 3 steps = 3 epochs with steps_per_epoch=1; no assertion on values,
