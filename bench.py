@@ -72,9 +72,11 @@ def main():
     if os.environ.get("SPE_BENCH_PALLAS_ATTN") == "0":
         overrides["use_pallas_attention"] = False
     # whole-LAYER fused encoder/decoder kernels (ops/pallas_encoder.py):
-    # opt-in for the A/B ladder until promoted into the preset default
+    # preset default since r3; =0 disables for the A/B ladder
     if os.environ.get("SPE_BENCH_FUSED_LAYERS") == "1":
         overrides["use_fused_layers"] = True
+    if os.environ.get("SPE_BENCH_FUSED_LAYERS") == "0":
+        overrides["use_fused_layers"] = False
     cfg = voc0712_preset(batch_size=BATCH, **overrides)
     model = build_model(cfg)
     n_dev = len(jax.devices())

@@ -16,8 +16,11 @@ Usage: python scripts_dev/mfu.py [step_ms]
 
 from __future__ import annotations
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 from spe_tpu.utils.jax_setup import setup
 

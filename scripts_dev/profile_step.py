@@ -14,6 +14,8 @@ import glob
 import os
 import sys
 
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
 from spe_tpu.utils.jax_setup import setup
 
 setup()
