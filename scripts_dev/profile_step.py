@@ -91,9 +91,13 @@ def parse_xplane(path: str):
             continue
         ev_names = {k: v.name for k, v in plane.event_metadata.items()}
         for line in plane.lines:
-            lname = line.name.lower()
-            if "step" in lname and "xla" not in lname:
-                continue  # steps line double-counts op time
+            # ONLY the 'XLA Ops' line: it is the non-overlapping op
+            # execution timeline. 'Async XLA Ops' spans copy-start ->
+            # copy-done WAITS that overlap compute (counting them read
+            # 611 ms/step for a 100 ms step, r4); 'Steps'/'XLA Modules'
+            # double-count the same time at coarser granularity.
+            if line.name != "XLA Ops":
+                continue
             for ev in line.events:
                 name = ev_names.get(ev.metadata_id, str(ev.metadata_id))
                 dur = ev.duration_ps / 1e9  # ms
