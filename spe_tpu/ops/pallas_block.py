@@ -102,10 +102,12 @@ def _path_keep(seed_ref, b, tag, rate):
 
 
 def _attention(q, k, v, wl_ref, bl_ref, ww_ref, bw_ref, seed_ref, b,
-               H, dh, q_tile, attn_drop, collect=None):
+               H, dh, q_tile, attn_drop, collect=None, need_out=True):
     """Talking-heads attention over VMEM-resident q/k/v lists (per head,
     (N, dh) f32-accum tiles). Returns list of per-head (N, dh) f32 outputs.
-    `collect`, when given, receives per-tile intermediates for the backward."""
+    `collect`, when given, receives per-tile intermediates for the backward.
+    need_out=False skips the attention@V dots (backward path with the
+    attention output restored from a forward-saved residual)."""
     N = q[0].shape[0]
     scale = dh ** -0.5
     outs = [[] for _ in range(H)]
@@ -138,16 +140,26 @@ def _attention(q, k, v, wl_ref, bl_ref, ww_ref, bw_ref, seed_ref, b,
         if collect is not None:
             collect.append(dict(sl=sl, logits=logits, probs=probs, z=z,
                                 keeps=keeps, kp=kp, zd=zd))
-        for h in range(H):
-            outs[h].append(_dot(zd[h].astype(v[h].dtype), v[h]))
+        if need_out:
+            for h in range(H):
+                outs[h].append(_dot(zd[h].astype(v[h].dtype), v[h]))
+    if not need_out:
+        return None
     return [jnp.concatenate(o, axis=0) for o in outs]
 
 
 def _block_fwd_kernel(x_ref, g1_ref, b1_ref, wqkv_ref, bqkv_ref, wl_ref,
                       bl_ref, ww_ref, bw_ref, wp_ref, bp_ref, gam1_ref,
                       g2_ref, b2_ref, w1_ref, bb1_ref, w2_ref, bb2_ref,
-                      gam2_ref, seed_ref, o_ref, *, H: int, q_tile: int,
-                      attn_drop: float, proj_drop: float, path_drop: float):
+                      gam2_ref, seed_ref, o_ref, *res_refs, H: int,
+                      q_tile: int, attn_drop: float, proj_drop: float,
+                      path_drop: float):
+    # res_refs, when present, are (osave_ref, mdsave_ref): the training
+    # forward also writes the attention output o (input dtype) and the
+    # post-dropout MLP output md (f32) so the remat-style backward can skip
+    # recomputing the attention@V dots and the fc2 matmul (~13% of its
+    # FLOPs) for ~1.2 MB/sample of HBM — the same math the backward's
+    # recompute performs (agreement to f32 ulp across the two programs).
     b = pl.program_id(0)
     x = x_ref[0]                       # (N, D)
     N, D = x.shape
@@ -192,18 +204,29 @@ def _block_fwd_kernel(x_ref, g1_ref, b1_ref, wqkv_ref, bqkv_ref, wl_ref,
            if path_drop > 0.0 else jnp.float32(1.0))
     out = x1 + dp2 * gam2_ref[0][None, :] * m
     o_ref[0] = out.astype(o_ref.dtype)
+    if res_refs:
+        osave_ref, mdsave_ref = res_refs
+        osave_ref[0] = o
+        mdsave_ref[0] = m
 
 
 def _block_bwd_kernel(x_ref, g1_ref, b1_ref, wqkv_ref, bqkv_ref, wl_ref,
                       bl_ref, ww_ref, bw_ref, wp_ref, bp_ref, gam1_ref,
                       g2_ref, b2_ref, w1_ref, bb1_ref, w2_ref, bb2_ref,
-                      gam2_ref, seed_ref, dy_ref,
-                      dx_ref, dg1_ref, db1_ref, dwqkv_ref, dbqkv_ref,
-                      dwl_ref, dbl_ref, dww_ref, dbw_ref, dwp_ref, dbp_ref,
-                      dgam1_ref, dg2_ref, db2_ref, dw1_ref, dbb1_ref,
-                      dw2_ref, dbb2_ref, dgam2_ref, *, H: int, q_tile: int,
+                      gam2_ref, seed_ref, dy_ref, *rest, H: int, q_tile: int,
                       attn_drop: float, proj_drop: float, path_drop: float,
-                      stream: bool):
+                      stream: bool, use_saved: bool):
+    # rest = ([osave_ref, mdsave_ref,] dx_ref, dg1_ref, ..., dgam2_ref);
+    # with use_saved the forward-saved attention output / MLP output skip
+    # their recompute (attention@V dots and the fc2 matmul) — same math as
+    # the recompute, to f32 ulp.
+    if use_saved:
+        osave_ref, mdsave_ref = rest[0], rest[1]
+        rest = rest[2:]
+    (dx_ref, dg1_ref, db1_ref, dwqkv_ref, dbqkv_ref,
+     dwl_ref, dbl_ref, dww_ref, dbw_ref, dwp_ref, dbp_ref,
+     dgam1_ref, dg2_ref, db2_ref, dw1_ref, dbb1_ref,
+     dw2_ref, dbb2_ref, dgam2_ref) = rest
     b = pl.program_id(0)
     x = x_ref[0]
     N, D = x.shape
@@ -236,9 +259,20 @@ def _block_bwd_kernel(x_ref, g1_ref, b1_ref, wqkv_ref, bqkv_ref, wl_ref,
     v = [qkv[:, 2 * D + h * dh:2 * D + (h + 1) * dh] for h in range(H)]
 
     saved = None if stream else []
-    o_heads = _attention(q, k, v, wl_ref, bl_ref, ww_ref, bw_ref, seed_ref, b,
-                         H, dh, q_tile, attn_drop, collect=saved)
-    o = jnp.concatenate([oh.astype(in_dt) for oh in o_heads], axis=1)
+    if use_saved:
+        # internals (logits/probs/zd) are still needed for the attention
+        # backward — collect them (or leave them to the per-tile stream
+        # recompute) but skip the attention@V output dots
+        if not stream:
+            _attention(q, k, v, wl_ref, bl_ref, ww_ref, bw_ref, seed_ref, b,
+                       H, dh, q_tile, attn_drop, collect=saved,
+                       need_out=False)
+        o = osave_ref[0]
+    else:
+        o_heads = _attention(q, k, v, wl_ref, bl_ref, ww_ref, bw_ref,
+                             seed_ref, b, H, dh, q_tile, attn_drop,
+                             collect=saved)
+        o = jnp.concatenate([oh.astype(in_dt) for oh in o_heads], axis=1)
     ao = _dot(o, wp_ref[...]) + bp_ref[0][None, :]
     if proj_drop > 0.0:
         pltpu.prng_seed(_seed_for(seed_ref, b, 5000))
@@ -260,13 +294,22 @@ def _block_bwd_kernel(x_ref, g1_ref, b1_ref, wqkv_ref, bqkv_ref, wl_ref,
         ugd = jnp.where(keep_u, ug / kp_u, 0.0)
     else:
         keep_u, kp_u, ugd = None, 1.0, ug
-    m = _dot(ugd.astype(in_dt), w2_ref[...]) + bb2_ref[0][None, :]
-    if proj_drop > 0.0:
-        pltpu.prng_seed(_seed_for(seed_ref, b, 7000))
-        (keep_m,), kp_m = _dropout_masks(m.shape, 1, proj_drop)
-        md = jnp.where(keep_m, m / kp_m, 0.0)
+    if use_saved:
+        # fc2 recompute skipped; still need keep_m for the dm mask below
+        if proj_drop > 0.0:
+            pltpu.prng_seed(_seed_for(seed_ref, b, 7000))
+            (keep_m,), kp_m = _dropout_masks((N, D), 1, proj_drop)
+        else:
+            keep_m, kp_m = None, 1.0
+        md = mdsave_ref[0]
     else:
-        keep_m, kp_m, md = None, 1.0, m
+        m = _dot(ugd.astype(in_dt), w2_ref[...]) + bb2_ref[0][None, :]
+        if proj_drop > 0.0:
+            pltpu.prng_seed(_seed_for(seed_ref, b, 7000))
+            (keep_m,), kp_m = _dropout_masks(m.shape, 1, proj_drop)
+            md = jnp.where(keep_m, m / kp_m, 0.0)
+        else:
+            keep_m, kp_m, md = None, 1.0, m
     dp2 = (_path_keep(seed_ref, b, 9000, path_drop)
            if path_drop > 0.0 else jnp.float32(1.0))
 
@@ -425,20 +468,27 @@ def _specs(N, D, H, batch_block=True):
 
 @functools.partial(jax.jit, static_argnames=("q_tile", "interpret",
                                              "attn_drop", "proj_drop",
-                                             "path_drop"))
+                                             "path_drop", "save_residuals"))
 def _fwd_call(x, params, seed, *, q_tile, interpret, attn_drop, proj_drop,
-              path_drop):
+              path_drop, save_residuals=False):
     B, N, D = x.shape
     H = params[4].shape[0]
     x_spec, p_specs, _ = _specs(N, D, H)
+    out_specs = x_spec
+    out_shape = jax.ShapeDtypeStruct((B, N, D), x.dtype)
+    if save_residuals:
+        out_specs = (x_spec, x_spec, x_spec)
+        out_shape = (out_shape,
+                     jax.ShapeDtypeStruct((B, N, D), x.dtype),    # o (attn out)
+                     jax.ShapeDtypeStruct((B, N, D), jnp.float32))  # md
     return pl.pallas_call(
         functools.partial(_block_fwd_kernel, H=H, q_tile=q_tile,
                           attn_drop=attn_drop, proj_drop=proj_drop,
                           path_drop=path_drop),
         grid=(B,),
         in_specs=[x_spec] + p_specs + [pl.BlockSpec(memory_space=pltpu.SMEM)],
-        out_specs=x_spec,
-        out_shape=jax.ShapeDtypeStruct((B, N, D), x.dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
             vmem_limit_bytes=110 * 1024 * 1024),
@@ -449,8 +499,8 @@ def _fwd_call(x, params, seed, *, q_tile, interpret, attn_drop, proj_drop,
 @functools.partial(jax.jit, static_argnames=("q_tile", "interpret",
                                              "attn_drop", "proj_drop",
                                              "path_drop"))
-def _bwd_call(x, params, seed, dy, *, q_tile, interpret, attn_drop,
-              proj_drop, path_drop):
+def _bwd_call(x, params, seed, dy, osave=None, mdsave=None, *, q_tile,
+              interpret, attn_drop, proj_drop, path_drop):
     B, N, D = x.shape
     H = params[4].shape[0]
     x_spec, p_specs, rep = _specs(N, D, H)
@@ -462,20 +512,24 @@ def _bwd_call(x, params, seed, dy, *, q_tile, interpret, attn_drop,
     # that footprint would crowd the 110 MB VMEM budget. At recipe shapes
     # (N=1024, H=4 -> 64 MB) collect is ~5% faster end-to-end.
     stream = 4 * H * N * N * 4 > STREAM_BWD_BYTES
+    use_saved = osave is not None
+    extra_in = [osave, mdsave] if use_saved else []
+    extra_specs = [x_spec, x_spec] if use_saved else []
     return pl.pallas_call(
         functools.partial(_block_bwd_kernel, H=H, q_tile=q_tile,
                           attn_drop=attn_drop, proj_drop=proj_drop,
-                          path_drop=path_drop, stream=stream),
+                          path_drop=path_drop, stream=stream,
+                          use_saved=use_saved),
         grid=(B,),
         in_specs=[x_spec] + p_specs + [
-            pl.BlockSpec(memory_space=pltpu.SMEM), x_spec],
+            pl.BlockSpec(memory_space=pltpu.SMEM), x_spec] + extra_specs,
         out_specs=tuple(grad_specs),
         out_shape=tuple(grad_shapes),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),   # param grads accumulate
             vmem_limit_bytes=110 * 1024 * 1024),
         interpret=pltpu.InterpretParams() if interpret else False,
-    )(x, *params, seed, dy)
+    )(x, *params, seed, dy, *extra_in)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
@@ -493,15 +547,32 @@ def fused_layer_scale_block(x, params, q_tile, interpret, attn_drop,
 
 
 def _fused_fwd(x, params, q_tile, interpret, attn_drop, proj_drop, path_drop):
-    y = fused_layer_scale_block(x, params, q_tile, interpret, attn_drop,
-                                proj_drop, path_drop)
-    return y, (x, params)
+    if not _save_residuals_enabled():
+        y = fused_layer_scale_block(x, params, q_tile, interpret, attn_drop,
+                                    proj_drop, path_drop)
+        return y, (x, params, None, None)
+    *ps, seed = params
+    y, osave, mdsave = _fwd_call(x, tuple(ps), seed, q_tile=q_tile,
+                                 interpret=interpret, attn_drop=attn_drop,
+                                 proj_drop=proj_drop, path_drop=path_drop,
+                                 save_residuals=True)
+    return y, (x, params, osave, mdsave)
+
+
+def _save_residuals_enabled() -> bool:
+    """A/B knob (default on): the differentiated forward saves the attention
+    output + post-dropout MLP output so the backward skips ~13% of its
+    recompute FLOPs for ~1.2 MB/sample of HBM. The plain (non-vjp) forward —
+    the eval path — never pays the extra writes."""
+    import os
+
+    return os.environ.get("SPE_BLOCK_SAVE_RESIDUALS", "1") != "0"
 
 
 def _fused_bwd(q_tile, interpret, attn_drop, proj_drop, path_drop, res, dy):
-    x, params = res
+    x, params, osave, mdsave = res
     *ps, seed = params
-    grads = _bwd_call(x, tuple(ps), seed, dy, q_tile=q_tile,
+    grads = _bwd_call(x, tuple(ps), seed, dy, osave, mdsave, q_tile=q_tile,
                       interpret=interpret, attn_drop=attn_drop,
                       proj_drop=proj_drop, path_drop=path_drop)
     dx = grads[0].astype(x.dtype)

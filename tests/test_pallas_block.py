@@ -119,6 +119,42 @@ def test_vjp_parity_streamed(setup, monkeypatch):
         pb._bwd_call.clear_cache()
 
 
+def test_vjp_save_residuals_identical(setup, monkeypatch):
+    """The save-residuals backward (forward stashes the attention output +
+    post-dropout MLP output; backward skips their recompute) computes the
+    same real-number math as the full-recompute backward — gradients must
+    agree to f32 ulp level (the two compiled programs may reassociate
+    elementwise chains differently), in both stream and collect modes,
+    with and without dropout."""
+    import spe_tpu.ops.pallas_block as pb
+
+    x, blk, pdict = setup
+    params = _params_tuple(pdict, seed=9.0)
+
+    def grads(d):
+        def loss(params, x):
+            y = fused_layer_scale_block(x, params, 16, True, d, d, 0.1)
+            return jnp.sum(jnp.sin(y.astype(jnp.float32)))
+        return jax.grad(loss, argnums=(0, 1))(params, x)
+
+    for stream_bytes in (0, 1 << 40):
+        monkeypatch.setattr(pb, "STREAM_BWD_BYTES", stream_bytes)
+        pb._bwd_call.clear_cache()
+        try:
+            for drop in (0.0, 0.15):
+                monkeypatch.setenv("SPE_BLOCK_SAVE_RESIDUALS", "1")
+                g_saved = grads(drop)
+                monkeypatch.setenv("SPE_BLOCK_SAVE_RESIDUALS", "0")
+                g_recompute = grads(drop)
+                for a, b in zip(jax.tree.leaves(g_saved),
+                                jax.tree.leaves(g_recompute)):
+                    np.testing.assert_allclose(np.asarray(a),
+                                               np.asarray(b),
+                                               rtol=3e-6, atol=1e-7)
+        finally:
+            pb._bwd_call.clear_cache()
+
+
 def test_dropout_modes_run_and_are_masked(setup):
     """Dropout path: output differs from deterministic, zeros appear where
     expected, and the VJP runs (mask identity fwd/bwd is implied by the
