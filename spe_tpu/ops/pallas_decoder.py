@@ -203,14 +203,24 @@ def _cross_bwd_loop(qc3, s3, kc3, kp3, v3, do3, dqc3, dsine3, dkc3, dkp3,
     jax.lax.fori_loop(0, H, body, 0)
 
 
-def _dec_fwd_kernel(*refs, H: int, S: int, has_qpos: bool, drop_rate: float):
+def _dec_fwd_kernel(*refs, H: int, S: int, has_qpos: bool, drop_rate: float,
+                    save_residuals: bool = False):
+    # With save_residuals the differentiated forward also writes the
+    # self-attention output (input dtype), the cross-attention output
+    # (input dtype) and the post-dropout FFN output (f32) so the backward
+    # skips recomputing both attention forwards and the fc2 matmul
+    # (~17% of its FLOPs). Same math to f32 ulp.
     (tgt_ref, mem_ref, pos_ref, qpos_ref, sine_ref, bias_ref,
      qbias_ref) = refs[:7]
     np_ = _n_params(has_qpos)
     P = _unpack(refs[7:7 + np_], has_qpos)
     seed_ref = refs[7 + np_]
     o_ref = refs[8 + np_]
-    qc3, s3, kc3, kp3, v3, o3 = refs[9 + np_:]
+    idx = 9 + np_
+    if save_residuals:
+        osasave_ref, ocasave_ref, h2save_ref = refs[idx:idx + 3]
+        idx += 3
+    qc3, s3, kc3, kp3, v3, o3 = refs[idx:]
 
     b = pl.program_id(0)
     tgt = tgt_ref[0]                                   # (SQp, D)
@@ -273,20 +283,29 @@ def _dec_fwd_kernel(*refs, H: int, S: int, has_qpos: bool, drop_rate: float):
         h2, _, _ = _drop(h2, seed_ref, b, 7000, drop_rate)
     out, _, _ = _ln_fwd(t2 + h2, P["g3"][0], P["b3"][0], eps=_EPS)
     o_ref[0] = out.astype(o_ref.dtype)
+    if save_residuals:
+        osasave_ref[0] = o_sa.astype(osasave_ref.dtype)
+        ocasave_ref[0] = o_ca
+        h2save_ref[0] = h2
 
 
-def _dec_bwd_kernel(*refs, H: int, S: int, has_qpos: bool, drop_rate: float):
+def _dec_bwd_kernel(*refs, H: int, S: int, has_qpos: bool, drop_rate: float,
+                    use_saved: bool = False):
     (tgt_ref, mem_ref, pos_ref, qpos_ref, sine_ref, bias_ref,
      qbias_ref) = refs[:7]
     np_ = _n_params(has_qpos)
     P = _unpack(refs[7:7 + np_], has_qpos)
     seed_ref = refs[7 + np_]
     dy_ref = refs[8 + np_]
-    douts = refs[9 + np_:9 + np_ + 5 + np_]
+    idx = 9 + np_
+    if use_saved:
+        osasave_ref, ocasave_ref, h2save_ref = refs[idx:idx + 3]
+        idx += 3
+    douts = refs[idx:idx + 5 + np_]
     (dtgt_ref, dmem_ref, dpos_ref, dqpos_ref, dsine_ref) = douts[:5]
     G = _unpack(douts[5:], has_qpos)
     (qc3, s3, kc3, kp3, v3, o3, do3, dqc3, dsine3, dkc3, dkp3,
-     dv3) = refs[9 + np_ + 5 + np_:]
+     dv3) = refs[idx + 5 + np_:]
 
     b = pl.program_id(0)
     tgt = tgt_ref[0]
@@ -310,9 +329,12 @@ def _dec_bwd_kernel(*refs, H: int, S: int, has_qpos: bool, drop_rate: float):
     k = (_dense(tgt, P["w_sak"], P["b_sak"])
          + _dense(qpos, P["w_sakp"], P["b_sakp"])).astype(in_dt)
     v = _dense(tgt, P["w_sav"], P["b_sav"]).astype(in_dt)
-    o_sa = _self_attention(q, k, v, qbias_ref, seed_ref, b, H, S, Qp,
-                           drop_rate)
-    o_sa_c = o_sa.astype(in_dt)
+    if use_saved:
+        o_sa_c = osasave_ref[0]
+    else:
+        o_sa = _self_attention(q, k, v, qbias_ref, seed_ref, b, H, S, Qp,
+                               drop_rate)
+        o_sa_c = o_sa.astype(in_dt)
     sa = _dense(o_sa_c, P["w_sao"], P["b_sao"])
     if drop_rate > 0.0:
         sad, keep_sa, kp_sa = _drop(sa, seed_ref, b, 5000, drop_rate)
@@ -338,9 +360,12 @@ def _dec_bwd_kernel(*refs, H: int, S: int, has_qpos: bool, drop_rate: float):
     _split_to(kc3, kc, H, dh)
     _split_to(kp3, kpos, H, dh)
     _split_to(v3, vv, H, dh)
-    _cross_fwd_loop(qc3, s3, kc3, kp3, v3, o3, bias, seed_ref, b, H, dh,
-                    drop_rate)
-    o_ca_c = _concat_from(o3, H)
+    if use_saved:
+        o_ca_c = ocasave_ref[0]
+    else:
+        _cross_fwd_loop(qc3, s3, kc3, kp3, v3, o3, bias, seed_ref, b, H, dh,
+                        drop_rate)
+        o_ca_c = _concat_from(o3, H)
     ca = _dense(o_ca_c, P["w_cao"], P["b_cao"])
     if drop_rate > 0.0:
         cad, keep_ca, kp_ca = _drop(ca, seed_ref, b, 5500, drop_rate)
@@ -356,11 +381,18 @@ def _dec_bwd_kernel(*refs, H: int, S: int, has_qpos: bool, drop_rate: float):
     else:
         urd = ur
     urd_c = urd.astype(in_dt)
-    h2 = _dense(urd_c, P["w2"], P["bb2"])
-    if drop_rate > 0.0:
-        h2d, keep_h2, kp_h2 = _drop(h2, seed_ref, b, 7000, drop_rate)
+    if use_saved:
+        # fc2 recompute skipped; regenerate only the dropout mask
+        if drop_rate > 0.0:
+            pltpu.prng_seed(_seed_for(seed_ref, b, 7000))
+            (keep_h2,), kp_h2 = _dropout_masks((SQ, D), 1, drop_rate)
+        h2d = h2save_ref[0]
     else:
-        h2d = h2
+        h2 = _dense(urd_c, P["w2"], P["bb2"])
+        if drop_rate > 0.0:
+            h2d, keep_h2, kp_h2 = _drop(h2, seed_ref, b, 7000, drop_rate)
+        else:
+            h2d = h2
     _, xhat3, inv3 = _ln_fwd(t2 + h2d, P["g3"][0], P["b3"][0], eps=_EPS)
 
     # ---- backward ----
@@ -474,23 +506,32 @@ def _specs(SQ, N, D, params):
 
 
 @functools.partial(jax.jit, static_argnames=("H", "S", "has_qpos",
-                                             "interpret", "drop_rate"))
+                                             "interpret", "drop_rate",
+                                             "save_residuals"))
 def _fwd_call(tgt, mem, pos, qpos, sine, bias, qbias, params, seed, *, H, S,
-              has_qpos, interpret, drop_rate):
+              has_qpos, interpret, drop_rate, save_residuals=False):
     B, SQ, D = tgt.shape
     N = mem.shape[1]
     t_spec, m_spec, bias_spec, p_specs, rep = _specs(SQ, N, D, params)
     dh = D // H
     dt = tgt.dtype
+    out_specs = t_spec
+    out_shape = jax.ShapeDtypeStruct((B, SQ, D), tgt.dtype)
+    if save_residuals:
+        out_specs = (t_spec, t_spec, t_spec, t_spec)
+        out_shape = (out_shape,
+                     jax.ShapeDtypeStruct((B, SQ, D), tgt.dtype),    # o_sa
+                     jax.ShapeDtypeStruct((B, SQ, D), tgt.dtype),    # o_ca
+                     jax.ShapeDtypeStruct((B, SQ, D), jnp.float32))  # h2
     return pl.pallas_call(
         functools.partial(_dec_fwd_kernel, H=H, S=S, has_qpos=has_qpos,
-                          drop_rate=drop_rate),
+                          drop_rate=drop_rate, save_residuals=save_residuals),
         grid=(B,),
         in_specs=[t_spec, m_spec, m_spec, t_spec, t_spec, bias_spec,
                   rep(qbias.shape)] + p_specs
         + [pl.BlockSpec(memory_space=pltpu.SMEM)],
-        out_specs=t_spec,
-        out_shape=jax.ShapeDtypeStruct((B, SQ, D), tgt.dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((H, SQ, dh), dt),     # qc3
                         pltpu.VMEM((H, SQ, dh), dt),     # s3
                         pltpu.VMEM((H, N, dh), dt),      # kc3
@@ -506,11 +547,15 @@ def _fwd_call(tgt, mem, pos, qpos, sine, bias, qbias, params, seed, *, H, S,
 
 @functools.partial(jax.jit, static_argnames=("H", "S", "has_qpos",
                                              "interpret", "drop_rate"))
-def _bwd_call(tgt, mem, pos, qpos, sine, bias, qbias, params, seed, dy, *, H,
+def _bwd_call(tgt, mem, pos, qpos, sine, bias, qbias, params, seed, dy,
+              osasave=None, ocasave=None, h2save=None, *, H,
               S, has_qpos, interpret, drop_rate):
     B, SQ, D = tgt.shape
     N = mem.shape[1]
     t_spec, m_spec, bias_spec, p_specs, rep = _specs(SQ, N, D, params)
+    use_saved = osasave is not None
+    extra_in = [osasave, ocasave, h2save] if use_saved else []
+    extra_specs = [t_spec, t_spec, t_spec] if use_saved else []
     grad_shapes = ([jax.ShapeDtypeStruct((B, SQ, D), jnp.float32),
                     jax.ShapeDtypeStruct((B, N, D), jnp.float32),
                     jax.ShapeDtypeStruct((B, N, D), jnp.float32),
@@ -524,11 +569,11 @@ def _bwd_call(tgt, mem, pos, qpos, sine, bias, qbias, params, seed, dy, *, H,
     dt = tgt.dtype
     return pl.pallas_call(
         functools.partial(_dec_bwd_kernel, H=H, S=S, has_qpos=has_qpos,
-                          drop_rate=drop_rate),
+                          drop_rate=drop_rate, use_saved=use_saved),
         grid=(B,),
         in_specs=[t_spec, m_spec, m_spec, t_spec, t_spec, bias_spec,
                   rep(qbias.shape)] + p_specs
-        + [pl.BlockSpec(memory_space=pltpu.SMEM), t_spec],
+        + [pl.BlockSpec(memory_space=pltpu.SMEM), t_spec] + extra_specs,
         out_specs=tuple(grad_specs),
         out_shape=tuple(grad_shapes),
         scratch_shapes=[pltpu.VMEM((H, SQ, dh), dt),           # qc3
@@ -547,7 +592,7 @@ def _bwd_call(tgt, mem, pos, qpos, sine, bias, qbias, params, seed, dy, *, H,
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=110 * 1024 * 1024),
         interpret=pltpu.InterpretParams() if interpret else False,
-    )(tgt, mem, pos, qpos, sine, bias, qbias, *params, seed, dy)
+    )(tgt, mem, pos, qpos, sine, bias, qbias, *params, seed, dy, *extra_in)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
@@ -567,17 +612,28 @@ def fused_decoder_layer(tgt, mem, pos, qpos, sine, num_heads, num_sets,
 
 def _fused_dec_fwd(tgt, mem, pos, qpos, sine, num_heads, num_sets, interpret,
                    drop_rate, params):
-    y = fused_decoder_layer(tgt, mem, pos, qpos, sine, num_heads, num_sets,
-                            interpret, drop_rate, params)
-    return y, (tgt, mem, pos, qpos, sine, params)
+    from spe_tpu.ops.pallas_block import _save_residuals_enabled
+
+    if not _save_residuals_enabled():
+        y = fused_decoder_layer(tgt, mem, pos, qpos, sine, num_heads,
+                                num_sets, interpret, drop_rate, params)
+        return y, (tgt, mem, pos, qpos, sine, params, None, None, None)
+    *ps, bias, qbias, seed = params
+    has_qpos = len(ps) == 36
+    y, osa, oca, h2 = _fwd_call(tgt, mem, pos, qpos, sine, bias, qbias,
+                                tuple(ps), seed, H=num_heads, S=num_sets,
+                                has_qpos=has_qpos, interpret=interpret,
+                                drop_rate=drop_rate, save_residuals=True)
+    return y, (tgt, mem, pos, qpos, sine, params, osa, oca, h2)
 
 
 def _fused_dec_bwd(num_heads, num_sets, interpret, drop_rate, res, dy):
-    tgt, mem, pos, qpos, sine, params = res
+    tgt, mem, pos, qpos, sine, params, osa, oca, h2 = res
     *ps, bias, qbias, seed = params
     has_qpos = len(ps) == 36
     grads = _bwd_call(tgt, mem, pos, qpos, sine, bias, qbias, tuple(ps),
-                      seed, dy, H=num_heads, S=num_sets, has_qpos=has_qpos,
+                      seed, dy, osa, oca, h2,
+                      H=num_heads, S=num_sets, has_qpos=has_qpos,
                       interpret=interpret, drop_rate=drop_rate)
     dtgt = grads[0].astype(tgt.dtype)
     dmem = grads[1].astype(mem.dtype)

@@ -129,7 +129,18 @@ def _attn_bwd_loop(q3, k3, v3, do3, dq3, dk3, dv3, bias, seed_ref, b, H, dh,
 def _enc_fwd_kernel(x_ref, pos_ref, bias_ref, wq_ref, bq_ref, wk_ref, bk_ref,
                     wv_ref, bv_ref, wo_ref, bo_ref, g1_ref, b1_ref, w1_ref,
                     bb1_ref, w2_ref, bb2_ref, g2_ref, b2_ref, seed_ref,
-                    o_ref, q3, k3, v3, o3, *, H: int, drop_rate: float):
+                    o_ref, *rest, H: int, drop_rate: float,
+                    save_residuals: bool = False):
+    # rest = ([osave_ref, h2save_ref,] q3, k3, v3, o3). With save_residuals
+    # the differentiated forward stashes the attention output o (input
+    # dtype) and the post-dropout FFN output h2 (f32) so the backward skips
+    # the whole attention forward recompute (logits+softmax+attn@V — it
+    # otherwise runs TWICE in the backward: once for o, once for the grads)
+    # and the fc2 matmul. Same math to f32 ulp.
+    if save_residuals:
+        osave_ref, h2save_ref = rest[0], rest[1]
+        rest = rest[2:]
+    q3, k3, v3, o3 = rest
     b = pl.program_id(0)
     x = x_ref[0]                                   # (N, D)
     pos = pos_ref[0]
@@ -162,17 +173,25 @@ def _enc_fwd_kernel(x_ref, pos_ref, bias_ref, wq_ref, bq_ref, wk_ref, bk_ref,
     y2 = s1 + h2
     out, _, _ = _ln_fwd(y2, g2_ref[0], b2_ref[0], eps=_EPS)
     o_ref[0] = out.astype(o_ref.dtype)
+    if save_residuals:
+        osave_ref[0] = o
+        h2save_ref[0] = h2
 
 
 def _enc_bwd_kernel(x_ref, pos_ref, bias_ref, wq_ref, bq_ref, wk_ref, bk_ref,
                     wv_ref, bv_ref, wo_ref, bo_ref, g1_ref, b1_ref, w1_ref,
                     bb1_ref, w2_ref, bb2_ref, g2_ref, b2_ref, seed_ref,
-                    dy_ref,
-                    dx_ref, dpos_ref, dwq_ref, dbq_ref, dwk_ref, dbk_ref,
-                    dwv_ref, dbv_ref, dwo_ref, dbo_ref, dg1_ref, db1_ref,
-                    dw1_ref, dbb1_ref, dw2_ref, dbb2_ref, dg2_ref, db2_ref,
-                    q3, k3, v3, o3, do3, dq3, dk3, dv3,
-                    *, H: int, drop_rate: float):
+                    dy_ref, *rest, H: int, drop_rate: float,
+                    use_saved: bool = False):
+    # rest = ([osave_ref, h2save_ref,] dx_ref, ..., db2_ref,
+    #         q3, k3, v3, o3, do3, dq3, dk3, dv3)
+    if use_saved:
+        osave_ref, h2save_ref = rest[0], rest[1]
+        rest = rest[2:]
+    (dx_ref, dpos_ref, dwq_ref, dbq_ref, dwk_ref, dbk_ref,
+     dwv_ref, dbv_ref, dwo_ref, dbo_ref, dg1_ref, db1_ref,
+     dw1_ref, dbb1_ref, dw2_ref, dbb2_ref, dg2_ref, db2_ref,
+     q3, k3, v3, o3, do3, dq3, dk3, dv3) = rest
     b = pl.program_id(0)
     x = x_ref[0]
     pos = pos_ref[0]
@@ -194,8 +213,11 @@ def _enc_bwd_kernel(x_ref, pos_ref, bias_ref, wq_ref, bq_ref, wk_ref, bk_ref,
     _split_to(v3, _dot(x, wv_ref[...]) + bv_ref[0][None, :], H, dh)
     bias = bias_ref[0, 0].astype(jnp.float32)
 
-    _attn_fwd_loop(q3, k3, v3, o3, bias, seed_ref, b, H, dh, drop_rate)
-    o = _concat_from(o3, H)
+    if use_saved:
+        o = osave_ref[0]
+    else:
+        _attn_fwd_loop(q3, k3, v3, o3, bias, seed_ref, b, H, dh, drop_rate)
+        o = _concat_from(o3, H)
     ao = _dot(o, wo_ref[...]) + bo_ref[0][None, :]
     if drop_rate > 0.0:
         ao, keep_ao, kp_ao = _drop(ao, seed_ref, b, 5000, drop_rate)
@@ -209,11 +231,18 @@ def _enc_bwd_kernel(x_ref, pos_ref, bias_ref, wq_ref, bq_ref, wk_ref, bk_ref,
         urd, keep_u, kp_u = _drop(ur, seed_ref, b, 6000, drop_rate)
     else:
         urd = ur
-    h2 = _dot(urd.astype(in_dt), w2_ref[...]) + bb2_ref[0][None, :]
-    if drop_rate > 0.0:
-        h2d, keep_h2, kp_h2 = _drop(h2, seed_ref, b, 7000, drop_rate)
+    if use_saved:
+        # fc2 recompute skipped; regenerate only the dropout mask
+        if drop_rate > 0.0:
+            pltpu.prng_seed(_seed_for(seed_ref, b, 7000))
+            (keep_h2,), kp_h2 = _dropout_masks((N, D), 1, drop_rate)
+        h2d = h2save_ref[0]
     else:
-        h2d = h2
+        h2 = _dot(urd.astype(in_dt), w2_ref[...]) + bb2_ref[0][None, :]
+        if drop_rate > 0.0:
+            h2d, keep_h2, kp_h2 = _drop(h2, seed_ref, b, 7000, drop_rate)
+        else:
+            h2d = h2
     y2 = s1 + h2d
 
     _, xhat2, inv2 = _ln_fwd(y2, g2_ref[0], b2_ref[0], eps=_EPS)
@@ -280,19 +309,29 @@ def _specs(N, D, F, params):
     return x_spec, bias_spec, p_specs, rep
 
 
-@functools.partial(jax.jit, static_argnames=("H", "interpret", "drop_rate"))
-def _fwd_call(x, pos, bias, params, seed, *, H, interpret, drop_rate):
+@functools.partial(jax.jit, static_argnames=("H", "interpret", "drop_rate",
+                                             "save_residuals"))
+def _fwd_call(x, pos, bias, params, seed, *, H, interpret, drop_rate,
+              save_residuals=False):
     B, N, D = x.shape
     F = params[10].shape[1]
     dh = D // H
     x_spec, bias_spec, p_specs, _ = _specs(N, D, F, params)
+    out_specs = x_spec
+    out_shape = jax.ShapeDtypeStruct((B, N, D), x.dtype)
+    if save_residuals:
+        out_specs = (x_spec, x_spec, x_spec)
+        out_shape = (out_shape,
+                     jax.ShapeDtypeStruct((B, N, D), x.dtype),      # o
+                     jax.ShapeDtypeStruct((B, N, D), jnp.float32))  # h2
     return pl.pallas_call(
-        functools.partial(_enc_fwd_kernel, H=H, drop_rate=drop_rate),
+        functools.partial(_enc_fwd_kernel, H=H, drop_rate=drop_rate,
+                          save_residuals=save_residuals),
         grid=(B,),
         in_specs=[x_spec, x_spec, bias_spec] + p_specs
         + [pl.BlockSpec(memory_space=pltpu.SMEM)],
-        out_specs=x_spec,
-        out_shape=jax.ShapeDtypeStruct((B, N, D), x.dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((H, N, dh), x.dtype)] * 4,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
@@ -302,7 +341,8 @@ def _fwd_call(x, pos, bias, params, seed, *, H, interpret, drop_rate):
 
 
 @functools.partial(jax.jit, static_argnames=("H", "interpret", "drop_rate"))
-def _bwd_call(x, pos, bias, params, seed, dy, *, H, interpret, drop_rate):
+def _bwd_call(x, pos, bias, params, seed, dy, osave=None, h2save=None, *, H,
+              interpret, drop_rate):
     B, N, D = x.shape
     F = params[10].shape[1]
     dh = D // H
@@ -311,11 +351,15 @@ def _bwd_call(x, pos, bias, params, seed, dy, *, H, interpret, drop_rate):
                    + [jax.ShapeDtypeStruct(p.shape, jnp.float32)
                       for p in params])
     grad_specs = [x_spec, x_spec] + [rep(p.shape) for p in params]
+    use_saved = osave is not None
+    extra_in = [osave, h2save] if use_saved else []
+    extra_specs = [x_spec, x_spec] if use_saved else []
     return pl.pallas_call(
-        functools.partial(_enc_bwd_kernel, H=H, drop_rate=drop_rate),
+        functools.partial(_enc_bwd_kernel, H=H, drop_rate=drop_rate,
+                          use_saved=use_saved),
         grid=(B,),
         in_specs=[x_spec, x_spec, bias_spec] + p_specs
-        + [pl.BlockSpec(memory_space=pltpu.SMEM), x_spec],
+        + [pl.BlockSpec(memory_space=pltpu.SMEM), x_spec] + extra_specs,
         out_specs=tuple(grad_specs),
         out_shape=tuple(grad_shapes),
         scratch_shapes=[pltpu.VMEM((H, N, dh), x.dtype)] * 5
@@ -324,7 +368,7 @@ def _bwd_call(x, pos, bias, params, seed, dy, *, H, interpret, drop_rate):
             dimension_semantics=("arbitrary",),    # param grads accumulate
             vmem_limit_bytes=110 * 1024 * 1024),
         interpret=pltpu.InterpretParams() if interpret else False,
-    )(x, pos, bias, *params, seed, dy)
+    )(x, pos, bias, *params, seed, dy, *extra_in)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
@@ -341,15 +385,24 @@ def fused_encoder_layer(x, pos, params, num_heads, interpret, drop_rate):
 
 
 def _fused_fwd(x, pos, params, num_heads, interpret, drop_rate):
-    y = fused_encoder_layer(x, pos, params, num_heads, interpret, drop_rate)
-    return y, (x, pos, params)
+    from spe_tpu.ops.pallas_block import _save_residuals_enabled
+
+    if not _save_residuals_enabled():
+        y = fused_encoder_layer(x, pos, params, num_heads, interpret,
+                                drop_rate)
+        return y, (x, pos, params, None, None)
+    *ps, bias, seed = params
+    y, osave, h2save = _fwd_call(x, pos, bias, tuple(ps), seed, H=num_heads,
+                                 interpret=interpret, drop_rate=drop_rate,
+                                 save_residuals=True)
+    return y, (x, pos, params, osave, h2save)
 
 
 def _fused_bwd(num_heads, interpret, drop_rate, res, dy):
-    x, pos, params = res
+    x, pos, params, osave, h2save = res
     *ps, bias, seed = params
-    grads = _bwd_call(x, pos, bias, tuple(ps), seed, dy, H=num_heads,
-                      interpret=interpret, drop_rate=drop_rate)
+    grads = _bwd_call(x, pos, bias, tuple(ps), seed, dy, osave, h2save,
+                      H=num_heads, interpret=interpret, drop_rate=drop_rate)
     dx = grads[0].astype(x.dtype)
     dpos = grads[1].astype(pos.dtype)
     dparams = tuple(g.astype(p.dtype) for g, p in zip(grads[2:], ps))

@@ -178,3 +178,40 @@ def test_dropout_runs(setup):
         rngs={"dropout": jax.random.PRNGKey(3)}).astype(jnp.float32)))(
         a["tgt"])
     assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_vjp_save_residuals_identical(setup, monkeypatch):
+    """Saved-residuals backward (forward stashes self-attn out, cross-attn
+    out and FFN out; backward skips both attention forward recomputes and
+    fc2) computes the same math as the full-recompute backward, to f32 ulp,
+    with and without dropout, both layer variants."""
+    a = setup
+    mask = jnp.asarray(np.arange(N)[None, :] >= np.array([[N], [N - 5]]))
+
+    for is_first in (True, False):
+        _, l_fus = _layers(is_first)
+        p = l_fus.init(jax.random.PRNGKey(0), a["tgt"], a["memory"],
+                       a["pos"], a["query_pos"], a["sine"],
+                       is_first=is_first, fused_qbias=_QBIAS)
+
+        def grads(det):
+            def loss(p, tgt, mem):
+                y = l_fus.apply(p, tgt, mem, a["pos"], a["query_pos"],
+                                a["sine"], is_first=is_first,
+                                key_padding_mask=mask, deterministic=det,
+                                fused_qbias=_QBIAS,
+                                rngs=None if det else
+                                {"dropout": jax.random.PRNGKey(3)})
+                return jnp.sum(jnp.sin(y.astype(jnp.float32)))
+            return jax.grad(loss, argnums=(0, 1, 2))(p, a["tgt"],
+                                                     a["memory"])
+
+        for det in (True, False):
+            monkeypatch.setenv("SPE_BLOCK_SAVE_RESIDUALS", "1")
+            g_saved = grads(det)
+            monkeypatch.setenv("SPE_BLOCK_SAVE_RESIDUALS", "0")
+            g_rec = grads(det)
+            for x, y in zip(jax.tree.leaves(g_saved),
+                            jax.tree.leaves(g_rec)):
+                np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                           rtol=1e-4, atol=1e-6)

@@ -105,3 +105,31 @@ def test_pre_norm_falls_back(setup, rng):
     out = layer.apply(p, src, pos, deterministic=True)
     want = ref.apply(p, src, pos, deterministic=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(want))
+
+
+def test_vjp_save_residuals_identical(setup, monkeypatch):
+    """Saved-residuals backward (forward stashes attn out + FFN out;
+    backward skips the attention forward recompute and fc2) computes the
+    same math as the full-recompute backward, to f32 ulp, with and
+    without dropout."""
+    src, pos, _, l_fused, p_std, _ = setup
+    mask = jnp.asarray(
+        np.arange(N)[None, :] >= np.array([[N], [N - 5]]))
+
+    def grads(det):
+        def loss(p, s, q):
+            y = l_fused.apply(p, s, q, key_padding_mask=mask,
+                              deterministic=det,
+                              rngs=None if det else
+                              {"dropout": jax.random.PRNGKey(3)})
+            return jnp.sum(jnp.sin(y.astype(jnp.float32)))
+        return jax.grad(loss, argnums=(0, 1, 2))(p_std, src, pos)
+
+    for det in (True, False):
+        monkeypatch.setenv("SPE_BLOCK_SAVE_RESIDUALS", "1")
+        g_saved = grads(det)
+        monkeypatch.setenv("SPE_BLOCK_SAVE_RESIDUALS", "0")
+        g_rec = grads(det)
+        for a, b in zip(jax.tree.leaves(g_saved), jax.tree.leaves(g_rec)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-6)
