@@ -22,9 +22,12 @@ if __name__ == "__main__":
     pos = [a for a in sys.argv[1:] if not a.startswith("--")]
     rate = float(pos[0]) if pos else 0.05
     fused_layers = "--fused-layers" in sys.argv
+    fused_block = "--fused-block" in sys.argv
     r = run_convergence(use_pallas=True, dropout=rate,
+                        use_fused_block=fused_block,
                         use_fused_layers=fused_layers)
-    print(f"fused TPU run (fused_layers={fused_layers}):", r)
+    print(f"fused TPU run (fused_layers={fused_layers}, "
+          f"fused_block={fused_block}):", r)
     assert r["bad_steps"] == 0
     assert r["bce"] < 0.3, r
     assert r["iou_end"] > 0.35, r

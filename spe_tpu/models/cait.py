@@ -75,6 +75,20 @@ class _AttnShell(nn.Module):
         return qkv, wl, bl, ww, bw, proj
 
 
+class _CAttnShell(nn.Module):
+    """Param shell matching MultiClassAttention's tree."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        q = _DenseShell(self.dim, self.dim, name="q")()
+        k = _DenseShell(self.dim, self.dim, name="k")()
+        v = _DenseShell(self.dim, self.dim, name="v")()
+        proj = _DenseShell(self.dim, self.dim, name="proj")()
+        return q, k, v, proj
+
+
 class _MlpShell(nn.Module):
     dim: int
     hidden: int
@@ -184,7 +198,13 @@ class LayerScaleBlock(nn.Module):
 class LayerScaleBlockClassAttn(nn.Module):
     """Class-attention block over u=[cls_tokens ++ patches] updating only the
     class tokens (reference LayerScale_Block_CA_MultiClass, cait.py:311-328).
-    Returns (new_cls_tokens, attn_map)."""
+    Returns (new_cls_tokens, attn_map).
+
+    use_fused routes the WHOLE block through one Pallas kernel per direction
+    (ops/pallas_ca_block.py); the attention map stays a first-class output
+    (the CAM source). Param tree is identical either way. These blocks carry
+    no dropout in the recipe (none is passed here), so the fused kernel
+    needs no PRNG."""
 
     num_heads: int
     num_tokens: int
@@ -192,13 +212,22 @@ class LayerScaleBlockClassAttn(nn.Module):
     init_scale: float = 1e-4
     qkv_bias: bool = True
     use_pallas: bool = False
+    use_fused: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, cls_tokens, *, deterministic: bool = True):
+        import os
+
+        import jax
+
         D = x.shape[-1]
         gamma1 = self.param("gamma_1", nn.initializers.constant(self.init_scale), (D,), jnp.float32)
         gamma2 = self.param("gamma_2", nn.initializers.constant(self.init_scale), (D,), jnp.float32)
+        if self.use_fused and (
+                jax.default_backend() in ("tpu", "axon")
+                or os.environ.get("SPE_FUSED_INTERPRET") == "1"):
+            return self._fused(x, cls_tokens, gamma1, gamma2)
         u = jnp.concatenate([cls_tokens, x], axis=1)
         u = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(u)
         h, attn = MultiClassAttention(self.num_heads, num_tokens=self.num_tokens,
@@ -211,6 +240,35 @@ class LayerScaleBlockClassAttn(nn.Module):
             h, deterministic=deterministic)
         cls_tokens = cls_tokens + gamma2.astype(h.dtype) * h
         return cls_tokens, attn
+
+    def _fused(self, x, cls_tokens, gamma1, gamma2):
+        import jax
+
+        from spe_tpu.ops.pallas_ca_block import fused_class_attn_block
+
+        D = x.shape[-1]
+        g1, b1 = _LNShell(D, name="norm1")()
+        (wq, bq), (wk, bk), (wv, bv), (wp, bp) = _CAttnShell(
+            D, name="attn")()
+        g2, b2 = _LNShell(D, name="norm2")()
+        (w1, bb1), (w2, bb2) = _MlpShell(D, int(D * self.mlp_ratio),
+                                         name="mlp")()
+        dt = self.dtype
+        params = (
+            g1.reshape(1, D), b1.reshape(1, D),
+            wq.astype(dt), bq.reshape(1, D),
+            wk.astype(dt), bk.reshape(1, D),
+            wv.astype(dt), bv.reshape(1, D),
+            wp.astype(dt), bp.reshape(1, D),
+            gamma1.reshape(1, D),
+            g2.reshape(1, D), b2.reshape(1, D),
+            w1.astype(dt), bb1.reshape(1, int(D * self.mlp_ratio)),
+            w2.astype(dt), bb2.reshape(1, D),
+            gamma2.reshape(1, D),
+        )
+        interpret = jax.default_backend() not in ("tpu", "axon")
+        return fused_class_attn_block(cls_tokens.astype(dt), x.astype(dt),
+                                      params, self.num_heads, interpret)
 
 
 def std_reweighting(cam: jnp.ndarray) -> jnp.ndarray:
@@ -348,7 +406,8 @@ class CaiTTwoBranch(nn.Module):
             cls_tokens, attn = LayerScaleBlockClassAttn(
                 cfg.num_heads, num_tokens=num_tokens, mlp_ratio=cfg.mlp_ratio,
                 init_scale=cfg.init_scale, qkv_bias=cfg.qkv_bias,
-                use_pallas=cfg.use_pallas, dtype=self.dtype,
+                use_pallas=cfg.use_pallas, use_fused=cfg.use_fused_block,
+                dtype=self.dtype,
                 name=f"blocks_token_only_{i}")(x, cls_tokens, deterministic=deterministic)
             if i == 0:
                 first_attn = attn
