@@ -87,7 +87,7 @@ def analyze(name, img, batch_per_dev, remat, tp):
     state_shape = jax.eval_shape(
         lambda p: TrainState(jnp.int32(0), p, tx.init(p), jnp.int32(0)), params)
 
-    rules = tp_param_shardings(state_shape, mesh)
+    rules = tp_param_shardings(state_shape, mesh, cfg)
     b_sh = {"images": NamedSharding(mesh, P("data")),
             "img_label": NamedSharding(mesh, P("data"))}
     rep = NamedSharding(mesh, P())

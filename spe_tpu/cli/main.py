@@ -130,7 +130,10 @@ def main(argv=None):
         from spe_tpu.train.checkpoint import load_params_lenient
 
         merged = load_params_lenient(cfg.frozen_weights, state.params)
-        state = TrainState(state.step, merged, state.opt_state)
+        # _replace keeps the strongly-typed jnp.int32 bad_steps — rebuilding
+        # with the python-int class default changes the aval and silently
+        # recompiles the donated train step on its second call
+        state = state._replace(params=merged)
         print(f"loaded frozen detector weights from {cfg.frozen_weights}")
 
     start_epoch = cfg.start_epoch

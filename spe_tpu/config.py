@@ -139,10 +139,20 @@ class SPEConfig:
     use_fused_layers: bool = False
     # rematerialize backbone blocks under autodiff (memory for FLOPs)
     remat: bool = False
+    # LayerScale init override: 0.0 keeps the backbone registry's value
+    # (1e-5/1e-6, tuned for PRETRAINED deep stacks — reference cait.py
+    # factories). Random-init shallow models need ~1.0 or the residual
+    # branches are frozen; the data-free rehearsal sets this.
+    init_scale: float = 0.0
     # assignment solver: 'auction' (on-device) or 'hungarian_cpu' (oracle).
     # (No eps-scaling knob: scaling rounds break the rectangular duality
     # argument the auction solver's correctness rests on — ops/assignment.py.)
     assignment: str = "auction"
+    # log per-step assignment-cost optimality vs the exact Hungarian on the
+    # SAME cost matrices (train metrics match_subopt_mean/_max). Uses a host
+    # callback — CPU-platform runs only (the solver A/B arms); the axon TPU
+    # tunnel rejects host callbacks.
+    log_match_cost: bool = False
     # C++ data path (libjpeg decode + resize + normalize off the GIL)
     use_native_loader: bool = True
     # multi-scale recipe: pad (H, W) up to multiples of this so distinct
@@ -297,7 +307,7 @@ _FLAG_FIELDS = [f.name for f in dataclasses.fields(SPEConfig)]
 _STORE_TRUE = {
     "dilation", "pre_norm", "masks", "hungarian_multi", "drloc",
     "remove_difficult", "eval", "fixed_size", "use_pallas_attention",
-    "use_fused_block", "use_fused_layers", "remat",
+    "use_fused_block", "use_fused_layers", "remat", "log_match_cost",
 }
 _SKIP = {"mesh_axes", "mesh_shape", "aux_loss"}
 

@@ -167,6 +167,10 @@ class DataLoader:
                         max_gt=self.max_gt)
         return batch
 
+    def _bucket_of(self, shape) -> tuple:
+        q = self.bucket_quantum
+        return (-(-shape[0] // q) * q, -(-shape[1] // q) * q)
+
     def epoch(self, epoch: int) -> Iterator[Dict[str, np.ndarray]]:
         idx = self._indices(epoch)
         nb = self.steps_per_epoch()
@@ -187,6 +191,44 @@ class DataLoader:
                            max_gt=self.max_gt,
                            bucket_quantum=self.bucket_quantum)
 
+        # size-grouped batching for the multi-scale recipe: assemble batches
+        # from SAME-BUCKET samples so a batch pads to its own bucket instead
+        # of the max over a random mix (which lands in the largest bucket
+        # almost every batch). The multi-scale transform samples the scale
+        # inside ds[i], so grouping happens post-decode: per-bucket pools
+        # fill as the shuffled stream is consumed and a batch is emitted
+        # whenever a pool reaches batch_size (tf.data bucket_by_* style).
+        # Epoch end flushes leftovers as full MIXED batches (padded to the
+        # max bucket among them — still a bucketed shape) and drops the
+        # final < batch_size remainder exactly like drop_last; emitted step
+        # count == steps_per_epoch().
+        group = (self.bucket_quantum > 0 and self.fixed_size is None
+                 and self.train and self.drop_last)
+
+        def worker_grouped():
+            try:
+                pools: Dict[tuple, list] = {}
+                emitted = 0
+                for i in idx:
+                    s = self.ds[i]
+                    key = self._bucket_of(s[0].shape)
+                    pool = pools.setdefault(key, [])
+                    pool.append(s)
+                    if len(pool) == self.batch_size:
+                        q.put(collate(pools.pop(key), self.num_classes, None,
+                                      max_gt=self.max_gt,
+                                      bucket_quantum=self.bucket_quantum))
+                        emitted += 1
+                rest = [s for pool in pools.values() for s in pool]
+                while emitted < nb and len(rest) >= self.batch_size:
+                    chunk, rest = rest[:self.batch_size], rest[self.batch_size:]
+                    q.put(collate(chunk, self.num_classes, None,
+                                  max_gt=self.max_gt,
+                                  bucket_quantum=self.bucket_quantum))
+                    emitted += 1
+            finally:
+                q.put(stop)
+
         def worker():
             try:
                 for bidx in batches:
@@ -194,7 +236,8 @@ class DataLoader:
             finally:
                 q.put(stop)
 
-        t = threading.Thread(target=worker, daemon=True)
+        t = threading.Thread(target=worker_grouped if group else worker,
+                             daemon=True)
         t.start()
         while True:
             item = q.get()

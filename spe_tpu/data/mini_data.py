@@ -25,16 +25,22 @@ from spe_tpu.data.synthetic import _PALETTE
 from spe_tpu.data.voc import VOC_CLASSES
 
 
-def _make_scene(rng, img_size: int, num_classes: int, max_objects: int = 3
+def _make_scene(rng, img_size: int, num_classes: int, max_objects: int = 3,
+                min_frac: float = 0.25, max_frac: float = 0.5,
                 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """-> (image uint8 HxWx3, boxes xyxy float, labels 1-based int)."""
+    """-> (image uint8 HxWx3, boxes xyxy float, labels 1-based int).
+
+    min/max_frac bound object side length as a fraction of img_size. The
+    default 1/4 keeps objects >= ~2 patch cells at the rehearsal's 16px
+    patches, the regime where the 8x8 CAM grid can localize (the dev
+    convergence recipe's finding, tests/convergence_recipe.py)."""
     s = img_size
     img = rng.integers(90, 150, (s, s, 3)).astype(np.uint8)
     n_obj = int(rng.integers(1, max_objects + 1))
     boxes, labels = [], []
     for _ in range(n_obj):
-        w = int(rng.integers(s // 6, s // 2))
-        h = int(rng.integers(s // 6, s // 2))
+        w = int(rng.integers(int(s * min_frac), int(s * max_frac)))
+        h = int(rng.integers(int(s * min_frac), int(s * max_frac)))
         x0 = int(rng.integers(0, s - w))
         y0 = int(rng.integers(0, s - h))
         c = int(rng.integers(0, num_classes))

@@ -3,6 +3,8 @@
 
 from __future__ import annotations
 
+import dataclasses
+
 import jax.numpy as jnp
 
 from spe_tpu.config import SPEConfig
@@ -22,6 +24,9 @@ def build_model(cfg: SPEConfig) -> SPEDetector:
         use_fused_block=cfg.use_fused_block,
         remat=cfg.remat,
     )
+    if cfg.init_scale:
+        backbone_cfg = dataclasses.replace(backbone_cfg,
+                                           init_scale=cfg.init_scale)
     dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
     return SPEDetector(
         backbone_cfg=backbone_cfg,

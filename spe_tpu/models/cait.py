@@ -134,8 +134,11 @@ class LayerScaleBlock(nn.Module):
         # fused kernel only where it can actually run compiled: on non-TPU
         # backends the interpret-mode emulation is an io_callback that
         # cannot be SPMD-partitioned (and is test-only anyway), so fall back
-        # to the standard path unless a test forces interpret via env
-        if self.use_fused and (
+        # to the standard path unless a test forces interpret via env.
+        # qkv_bias=False also falls back: _AttnShell always declares the qkv
+        # bias and the kernel adds it, so the fused path only matches the
+        # flax block (params AND math) for qkv_bias=True.
+        if self.use_fused and self.qkv_bias and (
                 jax.default_backend() in ("tpu", "axon")
                 or os.environ.get("SPE_FUSED_INTERPRET") == "1"):
             return self._fused(x, gamma1, gamma2, deterministic)
@@ -224,7 +227,11 @@ class LayerScaleBlockClassAttn(nn.Module):
         D = x.shape[-1]
         gamma1 = self.param("gamma_1", nn.initializers.constant(self.init_scale), (D,), jnp.float32)
         gamma2 = self.param("gamma_2", nn.initializers.constant(self.init_scale), (D,), jnp.float32)
-        if self.use_fused and (
+        # the fused kernel's param shell always creates q/k/v biases and the
+        # kernel adds them unconditionally — with qkv_bias=False both the
+        # param tree and the math would silently diverge from the flax path,
+        # so only route qkv_bias=True configs through it
+        if self.use_fused and self.qkv_bias and (
                 jax.default_backend() in ("tpu", "axon")
                 or os.environ.get("SPE_FUSED_INTERPRET") == "1"):
             return self._fused(x, cls_tokens, gamma1, gamma2)

@@ -42,17 +42,11 @@ def _suppression(boxes, scores, labels, valid, iou_threshold):
     return order, v, (iou > iou_threshold) & same_class & earlier
 
 
-@functools.partial(jax.jit, static_argnames=("iou_threshold",))
-def nms_per_class(boxes: jnp.ndarray, scores: jnp.ndarray, labels: jnp.ndarray,
-                  valid: jnp.ndarray, iou_threshold: float = 0.5) -> jnp.ndarray:
-    """Greedy class-wise NMS (fixpoint formulation).
-
-    Args:
-      boxes: (N, 4) xyxy; scores: (N,); labels: (N,) int; valid: (N,) bool.
-    Returns:
-      keep: (N,) bool — survivors, semantics identical to running
-      torchvision NMS independently per class on the valid subset.
-    """
+def _nms_fixpoint(boxes, scores, labels, valid, iou_threshold: float):
+    """Fixpoint core: returns (keep (N,) bool, sweeps int32). `sweeps` is the
+    number of antitone iterations until the greedy solution stabilized —
+    (longest suppression chain)+1, the <6-typical claim the eval bench
+    reports under realistic clustered detections (VERDICT r4 #7)."""
     n = boxes.shape[0]
     order, v, sup = _suppression(boxes, scores, labels, valid, iou_threshold)
 
@@ -65,8 +59,24 @@ def nms_per_class(boxes: jnp.ndarray, scores: jnp.ndarray, labels: jnp.ndarray,
         killed = jnp.any(k[:, None] & sup, axis=0)
         return v & ~killed, k, it + 1
 
-    keep_sorted, _, _ = jax.lax.while_loop(cond, body, (v, ~v, jnp.int32(0)))
-    return jnp.zeros(n, bool).at[order].set(keep_sorted)
+    keep_sorted, _, sweeps = jax.lax.while_loop(
+        cond, body, (v, ~v, jnp.int32(0)))
+    return jnp.zeros(n, bool).at[order].set(keep_sorted), sweeps
+
+
+@functools.partial(jax.jit, static_argnames=("iou_threshold",))
+def nms_per_class(boxes: jnp.ndarray, scores: jnp.ndarray, labels: jnp.ndarray,
+                  valid: jnp.ndarray, iou_threshold: float = 0.5) -> jnp.ndarray:
+    """Greedy class-wise NMS (fixpoint formulation).
+
+    Args:
+      boxes: (N, 4) xyxy; scores: (N,); labels: (N,) int; valid: (N,) bool.
+    Returns:
+      keep: (N,) bool — survivors, semantics identical to running
+      torchvision NMS independently per class on the valid subset.
+    """
+    keep, _ = _nms_fixpoint(boxes, scores, labels, valid, iou_threshold)
+    return keep
 
 
 def nms_scan_reference(boxes, scores, labels, valid, iou_threshold: float = 0.5):
@@ -87,4 +97,13 @@ def nms_scan_reference(boxes, scores, labels, valid, iou_threshold: float = 0.5)
 def batched_nms(boxes, scores, labels, valid, iou_threshold: float = 0.5):
     """vmap over a batch: (B, N, ...) -> (B, N) keep mask."""
     return jax.vmap(lambda b, s, l, v: nms_per_class(b, s, l, v, iou_threshold))(
+        boxes, scores, labels, valid)
+
+
+def batched_nms_stats(boxes, scores, labels, valid, iou_threshold: float = 0.5):
+    """batched_nms plus the per-image fixpoint sweep count (observability:
+    the eval bench reports sweeps under a realistic clustered-detection
+    load; note vmapped while_loops run all lanes to the max count, so the
+    BATCH cost is max(sweeps), which is what the numbers should quote)."""
+    return jax.vmap(lambda b, s, l, v: _nms_fixpoint(b, s, l, v, iou_threshold))(
         boxes, scores, labels, valid)

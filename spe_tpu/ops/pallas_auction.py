@@ -135,7 +135,11 @@ def auction_phase_pallas(benefit: jnp.ndarray, person_mask: jnp.ndarray,
     semantics as the XLA `_auction_phase` (-1 unassigned valid person,
     -2 padded person)."""
     P, T, Q = benefit.shape
-    PB = min(problem_block, P)
+    # a problem block of 1 hits Mosaic "Not implemented: Lane broadcast"
+    # (measured on v5e: P=1 fails, P>=2 compiles) — keep the block dimension
+    # at a sublane multiple; padded problems carry mask 0 and finish on
+    # iteration 0, so the cost is nil
+    PB = min(problem_block, max(-(-P // 8) * 8, 8))
     # pad problems to a PB multiple (mask 0 -> finished immediately),
     # persons to a sublane multiple, objects to a lane multiple at -inf so
     # padded columns never win a bid

@@ -59,8 +59,13 @@ def check_tp_fused_compat(cfg, mesh: Mesh) -> None:
     the model axis, the combination is refused with an actionable error
     (VERDICT r3 Next #5: "tested or explicitly refused").
     """
-    if mesh.shape.get("model", 1) <= 1 or cfg is None:
+    if mesh.shape.get("model", 1) <= 1:
         return
+    if cfg is None:
+        raise ValueError(
+            "a model mesh axis > 1 requires the SPEConfig to validate "
+            "kernel-fusion compatibility — pass cfg to tp_param_shardings/"
+            "check_tp_fused_compat")
     bad = [f for f in ("use_fused_block", "use_fused_layers",
                        "use_pallas_attention")
            if getattr(cfg, f, False)]
@@ -74,11 +79,12 @@ def check_tp_fused_compat(cfg, mesh: Mesh) -> None:
             f"inside one pallas_call, which GSPMD cannot partition.")
 
 
-def tp_param_shardings(params, mesh: Mesh, cfg=None):
+def tp_param_shardings(params, mesh: Mesh, cfg):
     """Pytree of NamedShardings for the parameter tree.
 
-    Pass the SPEConfig as `cfg` to validate that the config's kernel-fusion
-    flags are compatible with the mesh (raises ValueError otherwise)."""
+    `cfg` (the SPEConfig) is REQUIRED: every TP entrypoint must validate that
+    the config's kernel-fusion flags are compatible with the mesh (raises
+    ValueError otherwise) — an optional check is a silent-miscompile trap."""
     check_tp_fused_compat(cfg, mesh)
     return jax.tree_util.tree_map_with_path(
         lambda path, leaf: NamedSharding(mesh, _spec_for(path, leaf)), params)

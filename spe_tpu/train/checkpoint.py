@@ -23,9 +23,19 @@ def save_checkpoint(path, state: TrainState, epoch: int, cfg: SPEConfig) -> None
     import jax
     import numpy as np
 
+    from spe_tpu.train.optim import FusedAdamWState
+
     path = Path(path).resolve()
     tree = (dataclasses.asdict(state) if dataclasses.is_dataclass(state)
             else state._asdict())
+    # lr_vec is a pure function of (config, param shapes): don't persist the
+    # params-sized buffer. restore_checkpoint always rebuilds it from the
+    # CURRENT config, so resuming with a changed lr/lr_backbone takes effect
+    # instead of silently keeping a stale checkpointed vector.
+    if isinstance(tree.get("opt_state"), FusedAdamWState):
+        # 1-element placeholder (orbax refuses zero-size arrays)
+        tree["opt_state"] = tree["opt_state"]._replace(
+            lr_vec=np.zeros((1,), np.float32))
     tree = jax.tree_util.tree_map(
         lambda x: np.asarray(x) if isinstance(x, jax.Array) else x, tree)
     ckptr = ocp.StandardCheckpointer()
@@ -102,11 +112,57 @@ def resolve_resume(resume: str, cache_dir=None) -> Path:
     return local
 
 
+# state leaves that are pure functions of (config, param shapes): always
+# rebuilt from the current state's optimizer init, never read from (or
+# required in) the checkpoint — so resuming with a changed lr config takes
+# effect, and checkpoints written before the field existed still restore.
+_DERIVED_LEAVES = {("opt_state", "lr_vec")}
+
+
+def _merge_saved(cur, saved, path, missing):
+    """Recursively fill the current state's structure with checkpoint values
+    (orbax raw restores are name-keyed nested dicts; NamedTuple nodes in the
+    live structure correspond to field-name dict keys in the checkpoint)."""
+    if path in _DERIVED_LEAVES:
+        return cur
+    if hasattr(cur, "_asdict"):  # NamedTuple node
+        d = cur._asdict()
+        sub = saved if isinstance(saved, dict) else {}
+        return type(cur)(**{k: _merge_saved(v, sub.get(k), path + (k,), missing)
+                            for k, v in d.items()})
+    if isinstance(cur, dict):
+        sub = saved if isinstance(saved, dict) else {}
+        return {k: _merge_saved(v, sub.get(k), path + (str(k),), missing)
+                for k, v in cur.items()}
+    if isinstance(cur, (tuple, list)):  # e.g. optax chain states ("0","1",…)
+        sub = saved if isinstance(saved, dict) else {}
+        return type(cur)(_merge_saved(v, sub.get(str(i)), path + (str(i),),
+                                      missing)
+                         for i, v in enumerate(cur))
+    if saved is None:
+        missing.append(".".join(path))
+        return cur
+    return saved
+
+
 def restore_checkpoint(path, state: TrainState) -> Tuple[TrainState, int]:
-    """Restore into the given abstract/concrete state; returns (state, epoch).
-    Accepts a local directory or a URL to an archived checkpoint."""
+    """Restore into the given state by tree path; returns (state, epoch).
+    Accepts a local directory or a URL to an archived checkpoint.
+
+    Matching is by name path (not strict structure); any leaf other than the
+    derived ones (see _DERIVED_LEAVES) missing from the checkpoint is an
+    error, not a silent partial restore."""
     path = resolve_resume(str(path)).resolve()
     ckptr = ocp.StandardCheckpointer()
-    restored = ckptr.restore(path / "state", target=state._asdict())
+    raw = ckptr.restore(path / "state")
+    missing: list = []
+    merged = {k: _merge_saved(v, raw.get(k) if isinstance(raw, dict) else None,
+                              (k,), missing)
+              for k, v in state._asdict().items()}
+    if missing:
+        raise ValueError(
+            f"checkpoint {path} is missing {len(missing)} leaves, e.g. "
+            f"{missing[:5]} — refusing a silent partial restore "
+            f"(use load_params_lenient for params-only merges)")
     meta = json.loads((path / "meta.json").read_text())
-    return TrainState(**restored), int(meta["epoch"])
+    return TrainState(**merged), int(meta["epoch"])

@@ -104,12 +104,14 @@ def matcher_cost(pred_logits: jnp.ndarray, pred_boxes: jnp.ndarray,
 
 def match(pred_logits, pred_boxes, targets, *, method: str = "auction",
           cost_class: float = 2.0, cost_bbox: float = 5.0, cost_giou: float = 2.0,
-          with_stats: bool = False):
+          with_stats: bool = False, with_cost: bool = False):
     """Batched assignment: returns row_for_col (B, T) query index per target.
 
     with_stats=True additionally returns per-image solver-health stats
     ({'iters': (B,), 'cleanup': (B,)}; zeros for the exact host solver) for
-    the training log (VERDICT r2: assignment observability)."""
+    the training log (VERDICT r2: assignment observability).
+    with_cost=True (implies with_stats) also returns the (B, Q, T) cost
+    matrices so callers can audit assignment optimality."""
     # matching is not differentiated (reference runs the matcher under
     # no_grad, matcher.py:42); stop_gradient guarantees the cost-matrix
     # graph is pruned from the backward pass
@@ -120,18 +122,27 @@ def match(pred_logits, pred_boxes, targets, *, method: str = "auction",
         pred_logits, pred_boxes, targets["labels"], targets["boxes"], targets["mask"])
     if method == "hungarian_cpu":
         row_for_col, _ = jax.vmap(hungarian_callback)(cost, targets["mask"])
-        if with_stats:
-            B = row_for_col.shape[0]
-            return row_for_col, {"iters": jnp.zeros(B, jnp.int32),
-                                 "cleanup": jnp.zeros(B, jnp.int32)}
-        return row_for_col
-    if with_stats:
+        B = row_for_col.shape[0]
+        stats = {"iters": jnp.zeros(B, jnp.int32),
+                 "cleanup": jnp.zeros(B, jnp.int32)}
+    else:
         row_for_col, _, stats = auction_assignment_stats_batched(
             cost, targets["mask"])
+    if with_cost:
+        return row_for_col, stats, cost
+    if with_stats:
         return row_for_col, stats
-    row_for_col, _, _ = auction_assignment_stats_batched(
-        cost, targets["mask"])
     return row_for_col
+
+
+def realized_assignment_cost(cost: jnp.ndarray, rows: jnp.ndarray,
+                             col_mask: jnp.ndarray) -> jnp.ndarray:
+    """Total matched cost per problem: sum over valid target columns t of
+    cost[rows[t], t]. cost (P, Q, T), rows (P, T), col_mask (P, T) -> (P,)."""
+    Q = cost.shape[1]
+    picked = jnp.take_along_axis(
+        cost, jnp.clip(rows, 0, Q - 1)[:, None, :], axis=1)[:, 0, :]  # (P, T)
+    return (picked * col_mask.astype(cost.dtype)).sum(-1)
 
 
 # ---------------------------------------------------------------------------
@@ -318,7 +329,8 @@ def set_criterion_multi(stage_outs, targets_per_stage, rngs, num_boxes_per_stage
                         focal_alpha: float = 0.25, focal_gamma: float = 2.0,
                         cost_class: float = 2.0, cost_bbox: float = 5.0,
                         cost_giou: float = 2.0, assignment: str = "auction",
-                        training: bool = True, aux_loss: bool = True):
+                        training: bool = True, aux_loss: bool = True,
+                        cost_trace: bool = False):
     """All stages' criteria with ONE batched assignment call.
 
     Functionally identical to calling set_criterion per stage (the reference
@@ -360,13 +372,34 @@ def set_criterion_multi(stage_outs, targets_per_stage, rngs, num_boxes_per_stage
     # run as a single Pallas fixpoint kernel (ops/pallas_auction.py)
     SL, Bsz = LG.shape[0], LG.shape[1]
     T = TG["boxes"].shape[2]
-    rows_f, mstats = match(
+    flat_tgts = {k: TG[k].reshape(SL * Bsz, *TG[k].shape[2:])
+                 for k in ("labels", "boxes", "mask")}
+    res = match(
         LG.reshape(SL * Bsz, *LG.shape[2:]),
         BX.reshape(SL * Bsz, *BX.shape[2:]),
-        {k: TG[k].reshape(SL * Bsz, *TG[k].shape[2:])
-         for k in ("labels", "boxes", "mask")},
+        flat_tgts,
         method=assignment, cost_class=cost_class, cost_bbox=cost_bbox,
-        cost_giou=cost_giou, with_stats=True)
+        cost_giou=cost_giou, with_stats=True, with_cost=cost_trace)
+    if cost_trace:
+        # Assignment-cost optimality audit (VERDICT r4 #1c): solve the SAME
+        # cost matrices with the exact host Hungarian and compare realized
+        # matched costs. Host callback => CPU-platform runs only (the axon
+        # tunnel rejects host send/recv); the solver A/B arms use it.
+        rows_f, mstats, cost = res
+        rows_exact, _ = jax.vmap(hungarian_callback)(cost, flat_tgts["mask"])
+        rc = realized_assignment_cost(cost, rows_f, flat_tgts["mask"])
+        ec = realized_assignment_cost(cost, rows_exact, flat_tgts["mask"])
+        # ec is the optimum => gap >= 0 up to solver ties / float noise.
+        # Normalize by the per-problem cost SPREAD x matched count (the
+        # auction's eps-CS guarantee unit), not by |ec| (costs can be ~0
+        # or negative, making a ratio meaningless).
+        nvalid = jnp.maximum(flat_tgts["mask"].sum(-1).astype(jnp.float32), 1.0)
+        valid_cost = jnp.where(flat_tgts["mask"][:, None, :], cost, jnp.nan)
+        spread = (jnp.nanmax(valid_cost, axis=(1, 2))
+                  - jnp.nanmin(valid_cost, axis=(1, 2)))
+        gap = (rc - ec) / jnp.maximum(nvalid * spread, 1e-9)
+    else:
+        rows_f, mstats = res
     rows = rows_f.reshape(SL, Bsz, T)                    # (S*L, B, T)
 
     outs = []
@@ -389,4 +422,10 @@ def set_criterion_multi(stage_outs, targets_per_stage, rngs, num_boxes_per_stage
     # the auction's eps-CS bound argument holds)
     outs[0]["match_iters"] = jnp.max(mstats["iters"]).astype(jnp.float32)
     outs[0]["match_cleanup"] = jnp.sum(mstats["cleanup"]).astype(jnp.float32)
+    if cost_trace:
+        # mean/max normalized suboptimality of the configured solver vs the
+        # exact optimum on identical cost matrices (0 = optimal; the
+        # auction's guarantee is <= eps per matched pair in these units)
+        outs[0]["match_subopt_mean"] = jnp.mean(gap)
+        outs[0]["match_subopt_max"] = jnp.max(gap)
     return outs

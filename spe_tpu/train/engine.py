@@ -66,7 +66,12 @@ def train_one_epoch(step_fn, state, loader, epoch: int, cfg: SPEConfig,
                           # assignment-solver health (ops/assignment.py):
                           # worst iteration count + cleanup activations
                           match_iters=float(metrics.get("match_iters", 0.0)),
-                          match_cleanup=float(metrics.get("match_cleanup", 0.0)))
+                          match_cleanup=float(metrics.get("match_cleanup", 0.0)),
+                          # assignment-cost optimality vs exact Hungarian
+                          # (cfg.log_match_cost runs only; zeros otherwise)
+                          **{k: float(metrics[k]) for k in
+                             ("match_subopt_mean", "match_subopt_max")
+                             if k in metrics})
     metric.synchronize_between_processes()
     return state, {k: m.global_avg for k, m in metric.meters.items()}
 

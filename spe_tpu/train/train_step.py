@@ -95,7 +95,8 @@ def compute_losses(model, params, batch, rng, cfg: SPEConfig, gates: Gates,
                    focal_alpha=cfg.focal_alpha, focal_gamma=cfg.focal_gamma,
                    cost_class=cfg.set_cost_class, cost_bbox=cfg.set_cost_bbox,
                    cost_giou=cfg.set_cost_giou, assignment=cfg.assignment,
-                   training=not deterministic, aux_loss=cfg.aux_loss)
+                   training=not deterministic, aux_loss=cfg.aux_loss,
+                   cost_trace=cfg.log_match_cost)
 
     # all stages' matchings run as ONE batched solver call (identical math
     # to per-stage set_criterion; see set_criterion_multi)

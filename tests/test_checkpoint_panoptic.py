@@ -88,3 +88,71 @@ def test_load_params_lenient(tmp_path, rng):
     np.testing.assert_allclose(np.asarray(merged["params"]["backbone"]["w"]),
                                np.asarray(params["params"]["backbone"]["w"]))
     np.testing.assert_allclose(np.asarray(merged["params"]["segm_head"]["k"]), 7.0)
+
+
+def test_checkpoint_lr_vec_rebuilt_from_config(tmp_path):
+    """lr_vec is derived state: it is NOT persisted (placeholder only), and
+    restore always keeps the CURRENT optimizer init's vector — so resuming
+    with a changed lr config takes effect instead of silently keeping the
+    stale checkpointed per-element lr (ADVICE r4)."""
+    from spe_tpu.config import SPEConfig
+    from spe_tpu.train.checkpoint import restore_checkpoint, save_checkpoint
+    from spe_tpu.train.optim import make_optimizer
+    from spe_tpu.train.train_step import TrainState
+
+    params = {"params": {"backbone": {"w": jnp.ones((2, 2))},
+                         "head": {"w": jnp.ones((3,))}}}
+    cfg_old = SPEConfig(lr=1e-4, lr_backbone=1e-5)
+    tx_old = make_optimizer(cfg_old, steps_per_epoch=10, params=params)
+    state = TrainState(jnp.int32(9), params, tx_old.init(params), jnp.int32(1))
+    save_checkpoint(tmp_path / "ck", state, epoch=4, cfg=cfg_old)
+
+    # the saved artifact must not carry the params-sized lr vector
+    import orbax.checkpoint as ocp
+    raw = ocp.StandardCheckpointer().restore((tmp_path / "ck").resolve() / "state")
+    assert raw["opt_state"]["lr_vec"].size == 1
+
+    # resume under a CHANGED lr config: restored lr_vec == new config's
+    cfg_new = SPEConfig(lr=5e-4, lr_backbone=2e-5)
+    tx_new = make_optimizer(cfg_new, steps_per_epoch=10, params=params)
+    zero = TrainState(jnp.int32(0),
+                      jax.tree_util.tree_map(jnp.zeros_like, params),
+                      tx_new.init(params), jnp.int32(0))
+    restored, epoch = restore_checkpoint(tmp_path / "ck", zero)
+    assert epoch == 4 and int(restored.step) == 9 and int(restored.bad_steps) == 1
+    np.testing.assert_allclose(np.asarray(restored.opt_state.lr_vec),
+                               np.asarray(zero.opt_state.lr_vec))
+    assert np.any(np.asarray(restored.opt_state.lr_vec) == np.float32(5e-4))
+    np.testing.assert_allclose(np.asarray(restored.params["params"]["head"]["w"]), 1.0)
+
+
+def test_checkpoint_pre_lr_vec_compat(tmp_path):
+    """Checkpoints written before FusedAdamWState gained lr_vec (no such key
+    on disk) still restore; truly-missing leaves still fail loudly."""
+    from spe_tpu.config import SPEConfig
+    from spe_tpu.train.checkpoint import restore_checkpoint, save_checkpoint
+    from spe_tpu.train.optim import make_optimizer
+    from spe_tpu.train.train_step import TrainState
+    import pytest
+
+    params = {"w": jnp.full((3,), 2.0)}
+    # simulate an OLD checkpoint: opt_state without lr_vec at all
+    old_opt = {"count": jnp.int32(3), "mu": jnp.zeros((3,)), "nu": jnp.ones((3,))}
+    state_old = TrainState(jnp.int32(3), params, old_opt, jnp.int32(0))
+    save_checkpoint(tmp_path / "old", state_old, epoch=1, cfg=SPEConfig())
+
+    cfg = SPEConfig()
+    tx = make_optimizer(cfg, steps_per_epoch=5, params=params)
+    target = TrainState(jnp.int32(0), {"w": jnp.zeros((3,))}, tx.init(params),
+                        jnp.int32(0))
+    restored, epoch = restore_checkpoint(tmp_path / "old", target)
+    assert epoch == 1
+    np.testing.assert_allclose(np.asarray(restored.opt_state.nu), 1.0)
+    np.testing.assert_allclose(np.asarray(restored.opt_state.lr_vec),
+                               np.asarray(target.opt_state.lr_vec))
+
+    # a genuinely missing leaf (not in _DERIVED_LEAVES) is an error
+    bad_target = target._replace(params={"w": jnp.zeros((3,)),
+                                         "extra": jnp.zeros((2,))})
+    with pytest.raises(ValueError, match="missing"):
+        restore_checkpoint(tmp_path / "old", bad_target)

@@ -224,3 +224,47 @@ def test_multi_stage_matches_per_stage(rng):
             np.testing.assert_allclose(np.asarray(multi[s][k]),
                                        np.asarray(single[k]), rtol=1e-6,
                                        atol=1e-6, err_msg=k)
+
+
+def test_cost_trace_subopt_metrics(rng):
+    """cost_trace=True adds match_subopt_{mean,max}: the configured solver's
+    realized assignment cost vs the exact Hungarian optimum on the SAME cost
+    matrices, normalized by (matched count x cost spread). Exact solver ->
+    ~0; auction -> bounded by its eps guarantee (ops/assignment.py). Loss
+    values must be unchanged by tracing."""
+    import jax
+
+    from spe_tpu.train.criterion import set_criterion_multi
+
+    # Q > T*ratio like the deployment regime (Q=300 >> repeated targets);
+    # with more columns than rows the two solvers' unmatched-column
+    # conventions differ and the audit is not meaningful
+    B, Q, K, T, L = 2, 40, 5, 4, 2
+    mk = lambda *s: jnp.asarray(rng.normal(size=s).astype(np.float32))
+    stages = [{
+        "pred_logits": mk(B, Q, K), "pred_boxes": jax.nn.sigmoid(mk(B, Q, 4)),
+        "aux_pred_logits": mk(L - 1, B, Q, K),
+        "aux_pred_boxes": jax.nn.sigmoid(mk(L - 1, B, Q, 4)),
+    }]
+    tgts = [{
+        "boxes": jnp.clip(jax.nn.sigmoid(mk(B, T, 4)), 0.05, 0.9),
+        "labels": jnp.asarray(rng.integers(0, K, (B, T)), jnp.int32),
+        "mask": jnp.asarray(rng.uniform(size=(B, T)) > 0.3),
+        "scores": jnp.ones((B, T), jnp.float32),
+    }]
+    kw = dict(hung_match_ratio=3)
+
+    for solver, bound in (("hungarian_cpu", 1e-6), ("auction", 0.05)):
+        plain = set_criterion_multi(stages, tgts, [jax.random.PRNGKey(3)],
+                                    [jnp.float32(5.0)], [False],
+                                    assignment=solver, **kw)
+        traced = set_criterion_multi(stages, tgts, [jax.random.PRNGKey(3)],
+                                     [jnp.float32(5.0)], [False],
+                                     assignment=solver, cost_trace=True, **kw)
+        sub_mean = float(traced[0].pop("match_subopt_mean"))
+        sub_max = float(traced[0].pop("match_subopt_max"))
+        assert -1e-6 <= sub_mean <= sub_max <= bound, (solver, sub_mean, sub_max)
+        for k in plain[0]:
+            np.testing.assert_allclose(np.asarray(traced[0][k]),
+                                       np.asarray(plain[0][k]), rtol=1e-6,
+                                       err_msg=(solver, k))

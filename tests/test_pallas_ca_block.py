@@ -90,3 +90,27 @@ def test_stop_gradient_cam_path(setup):
     g_fus = jax.grad(lambda x: loss(blk_f, p, x, cls))(x)
     np.testing.assert_allclose(np.asarray(g_fus), np.asarray(g_ref),
                                rtol=3e-4, atol=3e-4)
+
+
+def test_qkv_bias_false_falls_back_to_flax(rng, monkeypatch):
+    """use_fused with qkv_bias=False must NOT enter the fused path: the
+    kernel's param shell always declares q/k/v biases and adds them, so
+    routing through it would silently diverge in both param tree and math
+    (ADVICE r4). The block falls back to the flax path instead."""
+    monkeypatch.setenv("SPE_FUSED_INTERPRET", "1")
+    x = jnp.asarray(rng.normal(size=(B, P, D)).astype(np.float32))
+    cls = jnp.asarray(rng.normal(size=(B, T, D)).astype(np.float32))
+    blk = LayerScaleBlockClassAttn(num_heads=H, num_tokens=T, init_scale=0.5,
+                                   qkv_bias=False)
+    blk_f = LayerScaleBlockClassAttn(num_heads=H, num_tokens=T, init_scale=0.5,
+                                     qkv_bias=False, use_fused=True)
+    p = blk.init(jax.random.PRNGKey(0), x, cls)
+    p_f = blk_f.init(jax.random.PRNGKey(0), x, cls)
+    fs = flax.traverse_util.flatten_dict(p["params"], sep="/")
+    ff = flax.traverse_util.flatten_dict(p_f["params"], sep="/")
+    assert set(fs) == set(ff), set(fs) ^ set(ff)
+    assert not any(k.endswith(("q/bias", "k/bias", "v/bias")) for k in fs)
+    ref_cls, ref_attn = blk.apply(p, x, cls, deterministic=True)
+    out_cls, out_attn = blk_f.apply(p, x, cls, deterministic=True)
+    np.testing.assert_allclose(np.asarray(out_cls), np.asarray(ref_cls))
+    np.testing.assert_allclose(np.asarray(out_attn), np.asarray(ref_attn))

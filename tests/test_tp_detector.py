@@ -47,7 +47,7 @@ def test_decoder_projections_are_sharded(rng):
     mesh = make_mesh(num_data=2, num_model=4)
     x = jnp.asarray(rng.normal(size=(2, 64, 64, 3)).astype(np.float32))
     params = model.init(jax.random.PRNGKey(0), x)
-    rules = tp_param_shardings(params, mesh)
+    rules = tp_param_shardings(params, mesh, cfg)
     flat = flax.traverse_util.flatten_dict(
         jax.tree_util.tree_map(lambda s: s.spec, rules)["params"])
     for proj in ("sa_qcontent_proj", "ca_qcontent_proj", "ca_v_proj",
@@ -67,7 +67,7 @@ def test_tp_detector_forward_matches_replicated(rng):
     params = model.init(jax.random.PRNGKey(0), x)
     ref = model.apply(params, x)
 
-    rules = tp_param_shardings(params, mesh)
+    rules = tp_param_shardings(params, mesh, cfg)
     bs = NamedSharding(mesh, P("data"))
     fn = jax.jit(model.apply, in_shardings=(rules, bs))
     out = fn(jax.device_put(params, rules), jax.device_put(x, bs))
@@ -104,7 +104,7 @@ def test_tp_train_step_matches_replicated(rng):
     s_ref, m_ref = jax.jit(step)(state, batch, jax.random.PRNGKey(1), gates)
 
     # TP+DP: the rule set covers the whole TrainState (scalars -> P())
-    st_sh = tp_param_shardings(state, mesh)
+    st_sh = tp_param_shardings(state, mesh, cfg)
     b_sh = {k: NamedSharding(mesh, P("data")) for k in batch}
     step_tp = jax.jit(step, in_shardings=(st_sh, b_sh, NamedSharding(mesh, P()),
                                           NamedSharding(mesh, P())))

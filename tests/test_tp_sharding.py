@@ -23,7 +23,9 @@ def test_tp_sharded_forward_matches_replicated(rng):
     params = model.init(jax.random.PRNGKey(0), x)
     ref = model.apply(params, x)
 
-    rules = tp_param_shardings(params, mesh)
+    from spe_tpu.config import SPEConfig
+
+    rules = tp_param_shardings(params, mesh, SPEConfig())
     # some kernels must actually be model-sharded
     flat = flax.traverse_util.flatten_dict(
         jax.tree_util.tree_map(lambda s: s.spec, rules)["params"])
