@@ -77,6 +77,12 @@ def main():
         overrides["use_fused_layers"] = True
     if os.environ.get("SPE_BENCH_FUSED_LAYERS") == "0":
         overrides["use_fused_layers"] = False
+    # fused class-attention token blocks (the CAM source): =0/=1 force the
+    # A/B ladder arms; unset follows use_fused_block (config 'auto')
+    if os.environ.get("SPE_BENCH_FUSED_CA") == "0":
+        overrides["use_fused_ca_block"] = "off"
+    if os.environ.get("SPE_BENCH_FUSED_CA") == "1":
+        overrides["use_fused_ca_block"] = "on"
     cfg = voc0712_preset(batch_size=BATCH, **overrides)
     model = build_model(cfg)
     n_dev = len(jax.devices())

@@ -134,6 +134,11 @@ class SPEConfig:
     use_pallas_attention: bool = False
     # whole-block fused kernel for the CaiT patch blocks (ops/pallas_block.py)
     use_fused_block: bool = False
+    # fused class-attention token blocks (ops/pallas_ca_block.py — the CAM
+    # source): 'auto' follows use_fused_block, 'on'/'off' force it. Split
+    # out (VERDICT r4 #2) so the kernel earns its default via its own
+    # on-chip A/B + convergence evidence.
+    use_fused_ca_block: str = "auto"
     # whole-LAYER fused kernels for the encoder/decoder stack
     # (ops/pallas_encoder.py)
     use_fused_layers: bool = False

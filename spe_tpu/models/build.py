@@ -22,6 +22,7 @@ def build_model(cfg: SPEConfig) -> SPEDetector:
         drop_path_rate=cfg.drop_path_rate,
         use_pallas=cfg.use_pallas_attention,
         use_fused_block=cfg.use_fused_block,
+        use_fused_ca={"auto": None, "on": True, "off": False}[cfg.use_fused_ca_block],
         remat=cfg.remat,
     )
     if cfg.init_scale:

@@ -313,6 +313,10 @@ class CaiTConfig:
     # an attention kernel. Takes precedence over use_pallas for the patch
     # stack (class-attention blocks keep their own kernels).
     use_fused_block: bool = False
+    # fused CLASS-ATTENTION token blocks (ops/pallas_ca_block.py) — the CAM
+    # source. Split from use_fused_block (VERDICT r4 #2) so it can be A/B'd
+    # and earn its default independently; None = follow use_fused_block.
+    use_fused_ca: "bool | None" = None
     # rematerialize each patch block under autodiff (jax.checkpoint):
     # activations are recomputed in the backward pass instead of stored —
     # the standard TPU memory/FLOPs trade for deep stacks (M48@448) and a
@@ -410,10 +414,12 @@ class CaiTTwoBranch(nn.Module):
         first_attn = None
         num_tokens = 1 + cfg.num_classes
         for i in range(cfg.depth_token_only):
+            fused_ca = (cfg.use_fused_block if cfg.use_fused_ca is None
+                        else cfg.use_fused_ca)
             cls_tokens, attn = LayerScaleBlockClassAttn(
                 cfg.num_heads, num_tokens=num_tokens, mlp_ratio=cfg.mlp_ratio,
                 init_scale=cfg.init_scale, qkv_bias=cfg.qkv_bias,
-                use_pallas=cfg.use_pallas, use_fused=cfg.use_fused_block,
+                use_pallas=cfg.use_pallas, use_fused=fused_ca,
                 dtype=self.dtype,
                 name=f"blocks_token_only_{i}")(x, cls_tokens, deterministic=deterministic)
             if i == 0:
@@ -490,6 +496,10 @@ BACKBONE_REGISTRY = {
     # *_woct0head_* — none reachable from the published recipes.
     # tiny config for smoke tests / CI (no reference analog)
     "TSCAM_cait_tiny": lambda **kw: _cait(64, 32, 4, 2, **kw),
+    # mini config for the data-free accuracy rehearsal (no reference
+    # analog): enough capacity to learn the 20-class mini-VOC from random
+    # init, still CPU-trainable in minutes
+    "TSCAM_cait_mini": lambda **kw: _cait(128, 64, 6, 2, **kw),
 }
 
 
@@ -498,10 +508,12 @@ def build_cait_config(name: str, num_classes: int, layer_to_det: int,
                       drop_path_rate: float = 0.0,
                       use_pallas: bool = False,
                       use_fused_block: bool = False,
+                      use_fused_ca=None,
                       remat: bool = False) -> CaiTConfig:
     if name not in BACKBONE_REGISTRY:
         raise KeyError(f"unknown backbone '{name}'; have {sorted(BACKBONE_REGISTRY)}")
     return BACKBONE_REGISTRY[name](
         num_classes=num_classes, layer_to_det=layer_to_det, drop_rate=drop_rate,
         attn_drop_rate=attn_drop_rate, drop_path_rate=drop_path_rate,
-        use_pallas=use_pallas, use_fused_block=use_fused_block, remat=remat)
+        use_pallas=use_pallas, use_fused_block=use_fused_block,
+        use_fused_ca=use_fused_ca, remat=remat)
