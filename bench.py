@@ -126,7 +126,7 @@ def main():
         rates.append(BATCH / dt / n_dev)
     imgs_per_sec_per_chip = float(np.median(rates))
 
-    eval_rate = bench_eval(cfg, model, state.params, n_dev)
+    eval_rate, nms_load = bench_eval(cfg, model, state.params, n_dev)
     multiscale = (bench_multiscale(model, n_dev)
                   if os.environ.get("SPE_BENCH_MULTISCALE", "1") != "0"
                   else None)
@@ -145,6 +145,9 @@ def main():
         # secondary metric: the VOC flip-TTA eval path (forward + top-300
         # postprocess + NMS), images/sec/chip
         "eval_images_per_sec_per_chip": round(eval_rate, 3),
+        # NMS under a realistic clustered-detection load (VERDICT r4 #7):
+        # fixpoint sweep count + NMS-only rate
+        "nms_load": nms_load,
         # multi-scale bucketed-padding train row (VERDICT r3 #7): the
         # reference's DEFAULT transform chain is multi-scale
         # (datasets/coco.py:271-300); this row proves the bucketed loader

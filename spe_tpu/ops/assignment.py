@@ -277,10 +277,15 @@ def _load_lapjv():
 def hungarian_host(cost: np.ndarray) -> np.ndarray:
     """Exact rectangular assignment on host.
 
+    Assigns min(Q, T) pairs injectively with minimum total cost (scipy
+    linear_sum_assignment semantics — the reference bar, matcher.py:83-86).
+
     Args:
-      cost: (Q, T) with T <= Q.
+      cost: (Q, T), any rectangular shape.
     Returns:
-      row_for_col: (T,) query index per target column.
+      row_for_col: (T,) query index per target column, -1 for columns left
+      unassigned (only possible when T > Q: the over-subscribed case, e.g.
+      a jitter-repeat candidate pool larger than num_queries).
     """
     import ctypes
 
@@ -288,15 +293,30 @@ def hungarian_host(cost: np.ndarray) -> np.ndarray:
     q, t = cost.shape
     lib = _load_lapjv()
     if lib:
-        # lapjv_rect solves rows->cols with rows <= cols; our persons are the
-        # T targets, so pass the transposed (T, Q) matrix.
-        ct = np.ascontiguousarray(cost.T)
+        # lapjv_rect solves rows->cols and requires rows <= cols; pass the
+        # smaller side as the persons. (With T > Q it previously got the
+        # infeasible T-person problem and returned all -1 — every column
+        # unassigned.)
         out = np.full((t,), -1, dtype=np.int32)
-        lib.lapjv_rect(
-            t, q,
-            ct.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
-            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
-        )
+        if t <= q:
+            # persons = target columns over the transposed (T, Q) matrix
+            ct = np.ascontiguousarray(cost.T)
+            lib.lapjv_rect(
+                t, q,
+                ct.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+            )
+        else:
+            # over-subscribed: persons = queries over (Q, T); invert
+            # col_for_row into row_for_col
+            out_q = np.full((q,), -1, dtype=np.int32)
+            lib.lapjv_rect(
+                q, t,
+                cost.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+                out_q.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+            )
+            valid = out_q >= 0
+            out[out_q[valid]] = np.arange(q, dtype=np.int32)[valid]
         return out.astype(np.int32)
     from scipy.optimize import linear_sum_assignment
 

@@ -101,25 +101,40 @@ def _path_keep(seed_ref, b, tag, rate):
     return keep / keep_prob
 
 
-def _attention(q, k, v, wl_ref, bl_ref, ww_ref, bw_ref, seed_ref, b,
+def _mix_rows(wl_ref, scale, H, dh):
+    """Per-output-head folded mix rows: row_g (1, D) f32 with
+    row_g[0, h*dh:(h+1)*dh] = scale * wl[h, g], so the talking-heads
+    pre-softmax mix becomes part of the QK^T contraction:
+      mixed_g = sum_h wl[h,g] * (scale*q_h @ k_h^T)
+              = (q_all * row_g) @ k_all^T        (the wl-fold).
+    Justified by the roofline finding (scripts_dev/roofline.py): MXU dot
+    time at these widths is shape-insensitive (K=48 vs 192 equal), while
+    the H^2 mixing multiply-adds on (q_tile, N) arrays are serial VPU
+    work — the fold moves them onto (q_tile, dh)-scale arrays."""
+    return [jnp.concatenate(
+        [jnp.broadcast_to(wl_ref[h, g] * scale, (1, dh)) for h in range(H)],
+        axis=1).astype(jnp.float32) for g in range(H)]
+
+
+def _attention(q_all, k_all, v, wl_ref, bl_ref, ww_ref, bw_ref, seed_ref, b,
                H, dh, q_tile, attn_drop, collect=None, need_out=True):
-    """Talking-heads attention over VMEM-resident q/k/v lists (per head,
-    (N, dh) f32-accum tiles). Returns list of per-head (N, dh) f32 outputs.
-    `collect`, when given, receives per-tile intermediates for the backward.
-    need_out=False skips the attention@V dots (backward path with the
-    attention output restored from a forward-saved residual)."""
-    N = q[0].shape[0]
+    """Talking-heads attention over VMEM-resident q_all/k_all (N, D) in
+    input dtype and per-head v list ((N, dh)). Returns list of per-head
+    (N, dh) f32 outputs. The pre-softmax head mix is folded into the Q side
+    of the QK^T dot (see _mix_rows). `collect`, when given, receives
+    per-tile intermediates for the backward. need_out=False skips the
+    attention@V dots (backward path with the attention output restored
+    from a forward-saved residual)."""
+    N = q_all.shape[0]
+    in_dt = q_all.dtype
     scale = dh ** -0.5
+    rows = _mix_rows(wl_ref, scale, H, dh)
     outs = [[] for _ in range(H)]
     for t0 in range(0, N, q_tile):
         sl = slice(t0, t0 + q_tile)
-        logits = [_dot(q[h][sl] * scale, k[h], tb=True) for h in range(H)]
-        mixed = []
-        for g in range(H):
-            s = logits[0] * wl_ref[0, g]
-            for h in range(1, H):
-                s = s + logits[h] * wl_ref[h, g]
-            mixed.append(s + bl_ref[g, 0])
+        qf = q_all[sl].astype(jnp.float32)
+        mixed = [_dot((qf * rows[g]).astype(in_dt), k_all, tb=True)
+                 + bl_ref[g, 0] for g in range(H)]
         probs = []
         for g in range(H):
             m = jnp.max(mixed[g], axis=-1, keepdims=True)
@@ -138,8 +153,8 @@ def _attention(q, k, v, wl_ref, bl_ref, ww_ref, bw_ref, seed_ref, b,
         else:
             keeps, kp, zd = None, 1.0, z
         if collect is not None:
-            collect.append(dict(sl=sl, logits=logits, probs=probs, z=z,
-                                keeps=keeps, kp=kp, zd=zd))
+            collect.append(dict(sl=sl, probs=probs, keeps=keeps, kp=kp,
+                                zd=zd))
         if need_out:
             for h in range(H):
                 outs[h].append(_dot(zd[h].astype(v[h].dtype), v[h]))
@@ -169,15 +184,12 @@ def _block_fwd_kernel(x_ref, g1_ref, b1_ref, wqkv_ref, bqkv_ref, wl_ref,
     h1n, _, _ = _ln_fwd(x, g1_ref[0], b1_ref[0])
     qkv = _dot(h1n.astype(in_dt), wqkv_ref[...]) + bqkv_ref[0][None, :]
     qkv = qkv.astype(in_dt)
-    q = [qkv[:, h * dh:(h + 1) * dh].astype(jnp.float32) for h in range(H)]
-    k = [qkv[:, D + h * dh:D + (h + 1) * dh].astype(jnp.float32) for h in range(H)]
+    q_all = qkv[:, :D]
+    k_all = qkv[:, D:2 * D]
     v = [qkv[:, 2 * D + h * dh:2 * D + (h + 1) * dh] for h in range(H)]
-    # operands re-cast to input dtype for the MXU dots
-    q = [a.astype(in_dt) for a in q]
-    k = [a.astype(in_dt) for a in k]
 
-    o_heads = _attention(q, k, v, wl_ref, bl_ref, ww_ref, bw_ref, seed_ref, b,
-                         H, dh, q_tile, attn_drop)
+    o_heads = _attention(q_all, k_all, v, wl_ref, bl_ref, ww_ref, bw_ref,
+                         seed_ref, b, H, dh, q_tile, attn_drop)
     o = jnp.concatenate([oh.astype(in_dt) for oh in o_heads], axis=1)  # (N, D)
     ao = _dot(o, wp_ref[...]) + bp_ref[0][None, :]                     # f32
     if proj_drop > 0.0:
@@ -254,22 +266,22 @@ def _block_bwd_kernel(x_ref, g1_ref, b1_ref, wqkv_ref, bqkv_ref, wl_ref,
     h1n_c = h1n.astype(in_dt)
     qkv = _dot(h1n_c, wqkv_ref[...]) + bqkv_ref[0][None, :]
     qkv = qkv.astype(in_dt)
-    q = [qkv[:, h * dh:(h + 1) * dh] for h in range(H)]
-    k = [qkv[:, D + h * dh:D + (h + 1) * dh] for h in range(H)]
+    q_all = qkv[:, :D]
+    k_all = qkv[:, D:2 * D]
     v = [qkv[:, 2 * D + h * dh:2 * D + (h + 1) * dh] for h in range(H)]
 
     saved = None if stream else []
     if use_saved:
-        # internals (logits/probs/zd) are still needed for the attention
+        # internals (probs/zd) are still needed for the attention
         # backward — collect them (or leave them to the per-tile stream
         # recompute) but skip the attention@V output dots
         if not stream:
-            _attention(q, k, v, wl_ref, bl_ref, ww_ref, bw_ref, seed_ref, b,
-                       H, dh, q_tile, attn_drop, collect=saved,
+            _attention(q_all, k_all, v, wl_ref, bl_ref, ww_ref, bw_ref,
+                       seed_ref, b, H, dh, q_tile, attn_drop, collect=saved,
                        need_out=False)
         o = osave_ref[0]
     else:
-        o_heads = _attention(q, k, v, wl_ref, bl_ref, ww_ref, bw_ref,
+        o_heads = _attention(q_all, k_all, v, wl_ref, bl_ref, ww_ref, bw_ref,
                              seed_ref, b, H, dh, q_tile, attn_drop,
                              collect=saved)
         o = jnp.concatenate([oh.astype(in_dt) for oh in o_heads], axis=1)
@@ -342,12 +354,16 @@ def _block_bwd_kernel(x_ref, g1_ref, b1_ref, wqkv_ref, bqkv_ref, wl_ref,
     do = _dot(dao.astype(in_dt), wp_ref[...], tb=True)  # (N, D) f32
 
     # per-tile attention backward (no scatter updates: dq tiles are
-    # concatenated, dk/dv/mixing grads are whole-array adds). With
-    # stream=True each tile's internals are recomputed here (same seeds,
-    # same _dropout_masks order as the forward _attention per tile) and
-    # consumed immediately; otherwise they come from `saved`.
-    dq_tiles = [[] for _ in range(H)]
-    dk = [jnp.zeros((N, dh), jnp.float32) for _ in range(H)]
+    # concatenated, dk/dv/mixing grads are whole-array adds). The wl-fold
+    # applies here too: dq~_g = dmix_g @ k_all, dK += dmix_g^T @ q~_g,
+    # dQ = sum_g dq~_g * row_g, dwl[h,g] = scale*sum(q_h (.) dq~_g[:, h·dh:])
+    # — the backward never materializes logits. With stream=True each
+    # tile's internals are recomputed here (same seeds, same _dropout_masks
+    # order as the forward _attention per tile) and consumed immediately;
+    # otherwise they come from `saved`.
+    rows = _mix_rows(wl_ref, scale, H, dh)
+    dq_tiles = []
+    dk_all = jnp.zeros((N, D), jnp.float32)
     dv = [jnp.zeros((N, dh), jnp.float32) for _ in range(H)]
     dwl = jnp.zeros(dwl_ref.shape, jnp.float32)
     dbl = jnp.zeros(dbl_ref.shape, jnp.float32)
@@ -355,15 +371,11 @@ def _block_bwd_kernel(x_ref, g1_ref, b1_ref, wqkv_ref, bqkv_ref, wl_ref,
     dbw = jnp.zeros(dbw_ref.shape, jnp.float32)
     for t0 in range(0, N, q_tile):
         sl = slice(t0, t0 + q_tile)
+        qf = q_all[sl].astype(jnp.float32)
         if stream:
             # -- recompute this tile's forward attention internals --
-            logits = [_dot(q[h][sl] * scale, k[h], tb=True) for h in range(H)]
-            mixed = []
-            for g in range(H):
-                s = logits[0] * wl_ref[0, g]
-                for h in range(1, H):
-                    s = s + logits[h] * wl_ref[h, g]
-                mixed.append(s + bl_ref[g, 0])
+            mixed = [_dot((qf * rows[g]).astype(in_dt), k_all, tb=True)
+                     + bl_ref[g, 0] for g in range(H)]
             probs = []
             for g in range(H):
                 mx = jnp.max(mixed[g], axis=-1, keepdims=True)
@@ -383,7 +395,7 @@ def _block_bwd_kernel(x_ref, g1_ref, b1_ref, wqkv_ref, bqkv_ref, wl_ref,
                 keeps, kp, zd = None, 1.0, z
         else:
             s_t = saved[t0 // q_tile]
-            logits, probs, zd = s_t["logits"], s_t["probs"], s_t["zd"]
+            probs, zd = s_t["probs"], s_t["zd"]
             keeps, kp = s_t["keeps"], s_t["kp"]
         # -- backward through this tile --
         do_t = [do[sl, h * dh:(h + 1) * dh] for h in range(H)]
@@ -411,30 +423,29 @@ def _block_bwd_kernel(x_ref, g1_ref, b1_ref, wqkv_ref, bqkv_ref, wl_ref,
         dmix = [probs[g] * (dp[g] - jnp.sum(dp[g] * probs[g],
                                             axis=-1, keepdims=True))
                 for g in range(H)]
-        # mix1 backward
-        dl = []
-        for h in range(H):
-            acc = dmix[0] * wl_ref[h, 0]
-            for g in range(1, H):
-                acc = acc + dmix[g] * wl_ref[h, g]
-            dl.append(acc)
-        dwl = dwl + jnp.stack(
-            [jnp.stack([jnp.sum(logits[h] * dmix[g]) for g in range(H)])
-             for h in range(H)])
+        # folded mix1 + QK backward
+        dq_t = jnp.zeros((qf.shape[0], D), jnp.float32)
+        dwl_cols = []
+        for g in range(H):
+            dmix_c = dmix[g].astype(in_dt)
+            dqt_g = _dot(dmix_c, k_all)                 # (q_tile, D) f32
+            dk_all = dk_all + _dot(dmix_c, (qf * rows[g]).astype(in_dt),
+                                   ta=True)             # (N, D)
+            dq_t = dq_t + dqt_g * rows[g]
+            qdq = qf * dqt_g                            # (q_tile, D)
+            dwl_cols.append(scale * jnp.stack(
+                [jnp.sum(qdq[:, h * dh:(h + 1) * dh]) for h in range(H)]))
+        dwl = dwl + jnp.stack(dwl_cols, axis=1)         # (H, H) [h, g]
         dbl = dbl + jnp.stack(
             [jnp.sum(dmix[g]) for g in range(H)]).reshape(H, 1)
-        for h in range(H):
-            dq_tiles[h].append(scale * _dot(dl[h].astype(in_dt), k[h]))
-            dk[h] = dk[h] + scale * _dot(dl[h].astype(in_dt), q[h][sl],
-                                         ta=True)
-    dq = [jnp.concatenate(t, axis=0) for t in dq_tiles]
+        dq_tiles.append(dq_t)
     dwl_ref[...] += dwl
     dbl_ref[...] += dbl
     dww_ref[...] += dww
     dbw_ref[...] += dbw
 
     dqkv = jnp.concatenate(
-        [jnp.concatenate(dq, axis=1), jnp.concatenate(dk, axis=1),
+        [jnp.concatenate(dq_tiles, axis=0), dk_all,
          jnp.concatenate(dv, axis=1)], axis=1)    # (N, 3D) f32
     dwqkv_ref[...] += _dot(h1n_c, dqkv.astype(in_dt), ta=True)
     dbqkv_ref[0] += jnp.sum(dqkv, axis=0)
@@ -507,11 +518,12 @@ def _bwd_call(x, params, seed, dy, osave=None, mdsave=None, *, q_tile,
     grad_shapes = [jax.ShapeDtypeStruct((B, N, D), jnp.float32)] + [
         jax.ShapeDtypeStruct(p.shape, jnp.float32) for p in params]
     grad_specs = [x_spec] + [rep(p.shape) for p in params]
-    # Collecting the attention internals keeps ~4 live f32 (N, N) planes
-    # per head across the MLP backward; stream (recompute per tile) once
-    # that footprint would crowd the 110 MB VMEM budget. At recipe shapes
-    # (N=1024, H=4 -> 64 MB) collect is ~5% faster end-to-end.
-    stream = 4 * H * N * N * 4 > STREAM_BWD_BYTES
+    # Collecting the attention internals keeps ~3 live (N, N) planes per
+    # head (probs/zd f32 + dropout mask) across the MLP backward; stream
+    # (recompute per tile) once that footprint would crowd the 110 MB VMEM
+    # budget. At recipe shapes (N=1024, H=4 -> 48 MB post-wl-fold, which
+    # dropped logits/z from the saved set) collect is ~5% faster end-to-end.
+    stream = 3 * H * N * N * 4 > STREAM_BWD_BYTES
     use_saved = osave is not None
     extra_in = [osave, mdsave] if use_saved else []
     extra_specs = [x_spec, x_spec] if use_saved else []

@@ -137,12 +137,17 @@ def match(pred_logits, pred_boxes, targets, *, method: str = "auction",
 
 def realized_assignment_cost(cost: jnp.ndarray, rows: jnp.ndarray,
                              col_mask: jnp.ndarray) -> jnp.ndarray:
-    """Total matched cost per problem: sum over valid target columns t of
-    cost[rows[t], t]. cost (P, Q, T), rows (P, T), col_mask (P, T) -> (P,)."""
+    """Total matched cost per problem: sum over ASSIGNED valid target
+    columns t of cost[rows[t], t]. cost (P, Q, T), rows (P, T),
+    col_mask (P, T) -> (P,). Columns with rows[t] < 0 (unassignable excess
+    when valid targets > Q) contribute nothing — both exact and auction
+    solvers assign exactly min(Q, n_valid) pairs, so totals stay
+    cardinality-comparable."""
     Q = cost.shape[1]
     picked = jnp.take_along_axis(
         cost, jnp.clip(rows, 0, Q - 1)[:, None, :], axis=1)[:, 0, :]  # (P, T)
-    return (picked * col_mask.astype(cost.dtype)).sum(-1)
+    assigned = col_mask & (rows >= 0)
+    return (picked * assigned.astype(cost.dtype)).sum(-1)
 
 
 # ---------------------------------------------------------------------------
@@ -158,7 +163,12 @@ def _layer_losses(pred_logits, pred_boxes, targets, row_for_col, num_boxes,
     """
     B, Q, K = pred_logits.shape
     T = row_for_col.shape[1]
-    mask = targets["mask"]
+    # a valid target can be UNASSIGNED (row -1) when the problem is
+    # over-subscribed (n_valid > Q, e.g. jitter-repeat pool > num_queries);
+    # reference semantics assign min(Q, n_valid) pairs and unmatched targets
+    # contribute nothing (scipy returns only assigned pairs) — without this
+    # the clip below silently matched them all to query 0
+    mask = targets["mask"] & (row_for_col >= 0)
     maskf = mask.astype(jnp.float32)
     labels = jnp.clip(targets["labels"], 0, K - 1)
 

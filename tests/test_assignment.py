@@ -92,6 +92,38 @@ def test_hungarian_callback(rng):
     np.testing.assert_allclose(got, want, atol=1e-5)
 
 
+def test_hungarian_host_oversubscribed(rng):
+    """T > Q (jitter-repeat pool larger than num_queries): exactly Q pairs
+    assigned, matching scipy's rectangular optimum. Regression: lapjv_rect
+    was called with persons=T > objects=Q and returned every column -1."""
+    for q, t in [(12, 18), (5, 40), (1, 3)]:
+        cost = rng.normal(size=(q, t)).astype(np.float64) * 3.0
+        out = hungarian_host(cost)
+        assigned = out >= 0
+        assert assigned.sum() == q, (q, t, assigned.sum())
+        assert len(set(out[assigned].tolist())) == q  # injective
+        got = cost[out[assigned], np.where(assigned)[0]].sum()
+        r, c = linear_sum_assignment(cost)
+        want = cost[r, c].sum()
+        np.testing.assert_allclose(got, want, atol=1e-9)
+
+
+def test_hungarian_callback_oversubscribed(rng):
+    """Padded pool T > Q with some columns masked invalid: every VALID
+    column is assigned while n_valid <= Q; assignments restricted to valid
+    columns match the exact optimum on the valid submatrix."""
+    q, t, valid = 12, 18, 9
+    cost = rng.normal(size=(q, t)).astype(np.float32)
+    mask = np.zeros(t, bool)
+    mask[:valid] = True
+    out, _ = hungarian_callback(jnp.array(cost), jnp.array(mask))
+    out = np.asarray(out)
+    assert (out[:valid] >= 0).all()
+    got = cost[out[:valid], np.arange(valid)].sum()
+    want = _scipy_cost(cost, mask)
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
 def test_auction_vmappable(rng):
     import jax
 
