@@ -59,22 +59,35 @@ def block_family():
     skips, then the grad chain ~ 2x fwd dots)."""
     q_tile = 512
     tiles = N // q_tile
-    # fwd dots per sample
+    # fwd dots per sample. QK^T is the wl-FOLDED dot (pallas_block._mix_rows):
+    # mixed_g = (q_all * row_g) @ k_all^T contracts over the FULL D=192 (2
+    # MXU K-passes vs 1 for the unfolded DH=48 — but dots at these widths
+    # are latency-bound, measured shape-insensitive), which deletes the
+    # pre-softmax H^2 mixing from the VPU column below.
+    # 'useful' stays the ALGORITHMIC count (unfolded DH contraction) so the
+    # MFU figure is not inflated by fold-spent FLOPs; 'equiv' charges the
+    # folded dot's real MXU occupancy (K=192 -> 2 passes).
+    def qk_cost():
+        alg, _ = dot_cost(q_tile, N, DH)
+        _, eq = dot_cost(q_tile, N, D)
+        return alg, eq
+
     fwd = acc(
         dot_cost(N, 3 * D, D),                      # qkv
-        *(dot_cost(q_tile, N, DH) for _ in range(H * tiles)),   # QK^T
+        *(qk_cost() for _ in range(H * tiles)),     # folded QK^T
         *(dot_cost(q_tile, DH, N) for _ in range(H * tiles)),   # attn@V
         dot_cost(N, D, D),                          # proj
         dot_cost(N, FFN // (2048 // (4 * D)), D) if False else dot_cost(N, 4 * D, D),  # fc1
         dot_cost(N, D, 4 * D),                      # fc2
     )
-    # VPU: mixing 2 stages x H^2 x (q_tile,N) mul+add, softmax ~5 passes
-    vpu_fwd = (2 * H * H * 2 + H * 5) * N * N // 1  # per sample
+    # VPU: post-softmax mix H^2 x (q_tile,N) mul+add (pre-mix folded into
+    # the QK dot), softmax ~5 passes, fold row-scaling H x (q_tile, D)
+    vpu_fwd = (H * H * 2 + H * 5) * N * N + H * N * D  # per sample
     # bwd = recompute(fwd minus attn@V and fc2 — save-residuals) + grad
     # chain (~2x fwd dots: each dot spawns dA and dB dots)
     recompute = acc(
         dot_cost(N, 3 * D, D),
-        *(dot_cost(q_tile, N, DH) for _ in range(H * tiles)),
+        *(qk_cost() for _ in range(H * tiles)),
         dot_cost(N, 4 * D, D),
         dot_cost(N, D, D),
     )
@@ -160,7 +173,7 @@ def optimizer_family(n_params=26.3e6):
 
 
 def main():
-    step_ms = float(sys.argv[1]) if len(sys.argv) > 1 else 93.4
+    step_ms = float(sys.argv[1]) if len(sys.argv) > 1 else 91.1
     fams = {
         "patch blocks (x48)": block_family(),
         "class-attn blocks (x2)": ca_family(),

@@ -155,6 +155,8 @@ class LayerScaleBlock(nn.Module):
         return x
 
     def _fused(self, x, gamma1, gamma2, deterministic: bool):
+        import os
+
         import jax
 
         from spe_tpu.ops.pallas_block import fused_layer_scale_block
@@ -193,6 +195,12 @@ class LayerScaleBlock(nn.Module):
         x = x.astype(dt)
         N = x.shape[1]
         q_tile = next((t for t in (512, 256, 128) if N % t == 0), N)
+        # A/B knob: SPE_BLOCK_QTILE overrides the tile (must divide N) —
+        # e.g. 1024 runs the whole sequence as one tile, halving the
+        # per-tile dot count at 2x the per-dot area (latency-bound regime)
+        qt_env = os.environ.get("SPE_BLOCK_QTILE")
+        if qt_env and N % int(qt_env) == 0:
+            q_tile = int(qt_env)
         interpret = jax.default_backend() not in ("tpu", "axon")
         return fused_layer_scale_block(x, params, q_tile, interpret,
                                        attn_drop, proj_drop, path_drop)
