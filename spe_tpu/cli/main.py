@@ -52,9 +52,16 @@ def main(argv=None):
     rng = jax.random.PRNGKey(cfg.seed + jax.process_index())
     np.random.seed(cfg.seed + jax.process_index())
 
-    model = build_model(cfg)
-    mesh = make_mesh()
+    # mesh before model: with --tp_attention the fused-MHA kernels are
+    # head-sharded via shard_map and need the concrete mesh at trace time
+    mesh = make_mesh(num_model=cfg.model_axis)
+    if cfg.model_axis > 1:
+        from spe_tpu.parallel.sharding_rules import check_tp_fused_compat
+
+        check_tp_fused_compat(cfg, mesh)  # refuses TP x whole-block/layer
+    model = build_model(cfg, tp_mesh=mesh if cfg.tp_attention else None)
     n_dev = len(jax.devices())
+    dp_dev = n_dev // cfg.model_axis  # data-parallel width under TP
     warmup_collectives()  # form gloo/ICI cliques while ranks are aligned
 
     ds_train = build_dataset("train", cfg.dataset_file, cfg)
@@ -63,7 +70,8 @@ def main(argv=None):
     # reference --batch_size is PER DEVICE (scripts/run_voc0712.py launches
     # 8 processes x batch 1); one host process here drives all its local
     # devices, so the process-local batch is batch_size x local devices
-    local_bs = cfg.batch_size * jax.local_device_count()
+    local_bs = cfg.batch_size * max(
+        jax.local_device_count() // cfg.model_axis, 1)
     loader_train = DataLoader(ds_train, local_bs, cfg.num_classes,
                               fixed_size=fixed, seed=cfg.seed,
                               process_index=jax.process_index(),
@@ -144,9 +152,19 @@ def main(argv=None):
         print(f"resumed from {cfg.resume} (epoch {last_epoch})")
 
     rep = replicated(mesh)
-    state = jax.device_put(state, rep)
-    step_fn = jax.jit(make_train_step(model, cfg, tx, num_devices=n_dev),
-                      out_shardings=(rep, rep), donate_argnums=(0,))
+    if cfg.model_axis > 1:
+        # TP: Megatron-rule param shardings over the model axis; the loss
+        # normalization divides by the DATA-parallel width only
+        from spe_tpu.parallel.sharding_rules import tp_param_shardings
+
+        st_sh = tp_param_shardings(state, mesh, cfg)
+        state = jax.device_put(state, st_sh)
+        step_fn = jax.jit(make_train_step(model, cfg, tx, num_devices=dp_dev),
+                          out_shardings=(st_sh, rep), donate_argnums=(0,))
+    else:
+        state = jax.device_put(state, rep)
+        step_fn = jax.jit(make_train_step(model, cfg, tx, num_devices=n_dev),
+                          out_shardings=(rep, rep), donate_argnums=(0,))
 
     def run_eval(params, epoch: int = 0):
         """COCO path: COLLECTIVE — every process must enter (the detection

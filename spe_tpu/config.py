@@ -130,6 +130,11 @@ class SPEConfig:
     # mesh
     mesh_axes: Tuple[str, ...] = ("data",)
     mesh_shape: Tuple[int, ...] = (-1,)
+    # size of the 'model' mesh axis (tensor parallelism). >1 shards the
+    # Megatron-rule params (parallel/sharding_rules.py) and requires the
+    # whole-block/layer fused kernels OFF; combine with --tp_attention to
+    # keep the fused-MHA kernel family (head-sharded via shard_map).
+    model_axis: int = 1
     # pallas kernels
     use_pallas_attention: bool = False
     # whole-block fused kernel for the CaiT patch blocks (ops/pallas_block.py)
@@ -142,6 +147,15 @@ class SPEConfig:
     # whole-LAYER fused kernels for the encoder/decoder stack
     # (ops/pallas_encoder.py)
     use_fused_layers: bool = False
+    # tensor parallelism x Pallas: head-shard the fused-MHA kernel family
+    # (encoder self-attn + decoder conditional cross-attn) over the mesh's
+    # 'model' axis via shard_map (ops/pallas_mha.fused_mha tp_mesh=...).
+    # Requires use_fused_block/use_fused_layers off (those kernels consume
+    # whole param arrays — parallel/sharding_rules.check_tp_fused_compat);
+    # the backbone talking-heads flavor head-MIXES, so it falls back to the
+    # XLA einsum path, which GSPMD partitions itself. build_model must be
+    # handed the mesh (build_model(cfg, tp_mesh=mesh)) when this is set.
+    tp_attention: bool = False
     # rematerialize backbone blocks under autodiff (memory for FLOPs)
     remat: bool = False
     # LayerScale init override: 0.0 keeps the backbone registry's value
@@ -313,6 +327,7 @@ _STORE_TRUE = {
     "dilation", "pre_norm", "masks", "hungarian_multi", "drloc",
     "remove_difficult", "eval", "fixed_size", "use_pallas_attention",
     "use_fused_block", "use_fused_layers", "remat", "log_match_cost",
+    "tp_attention",
 }
 _SKIP = {"mesh_axes", "mesh_shape", "aux_loss"}
 

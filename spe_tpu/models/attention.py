@@ -198,6 +198,9 @@ class MultiheadAttention(nn.Module):
     dropout: float = 0.0
     use_pallas: bool = False
     kv_shard_axis: Optional[str] = None
+    # tensor parallelism: a Mesh whose 'model' axis splits the HEAD dim of
+    # the fused kernel via shard_map (ops/pallas_mha.fused_mha tp_mesh)
+    tp_mesh: Optional[object] = None
     dtype: jnp.dtype = jnp.float32
 
     def _kernel_seed(self, deterministic):
@@ -237,7 +240,8 @@ class MultiheadAttention(nn.Module):
                             _split_heads(k, self.num_heads),
                             _split_heads(v, self.num_heads),
                             key_padding_mask=key_padding_mask, seed=seed,
-                            dropout_rate=rate, interpret=_use_interpret())
+                            dropout_rate=rate, interpret=_use_interpret(),
+                            tp_mesh=self.tp_mesh)
             out = out.astype(q.dtype)
         else:
             qh = _split_heads(q, self.num_heads) / jnp.sqrt(
@@ -267,6 +271,7 @@ class ProjectionFreeAttention(nn.Module):
     num_heads: int
     dropout: float = 0.0
     use_pallas: bool = False
+    tp_mesh: Optional[object] = None  # head-sharded kernel TP (see MultiheadAttention)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -285,7 +290,8 @@ class ProjectionFreeAttention(nn.Module):
                             _split_heads(k, self.num_heads),
                             _split_heads(v, self.num_heads),
                             key_padding_mask=key_padding_mask, seed=seed,
-                            dropout_rate=rate, interpret=_use_interpret())
+                            dropout_rate=rate, interpret=_use_interpret(),
+                            tp_mesh=self.tp_mesh)
             out = out.astype(q.dtype)
         else:
             qh = _split_heads(q, self.num_heads) / jnp.sqrt(

@@ -42,6 +42,9 @@ class SPEDetector(nn.Module):
     # (ops/pallas_encoder.py); takes precedence over use_pallas where it applies
     use_fused_layers: bool = False
     masks: bool = False   # attach the segmentation head (reference DETRsegm)
+    # tensor parallelism: mesh whose 'model' axis head-shards the fused MHA
+    # kernels via shard_map (ops/pallas_mha.fused_mha; cfg.tp_attention)
+    tp_mesh: object = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -88,6 +91,7 @@ class SPEDetector(nn.Module):
             dim_feedforward=self.dim_feedforward, dropout=self.dropout,
             num_refines=self.num_refines, normalize_before=self.pre_norm,
             use_pallas=self.use_pallas, use_fused_layers=self.use_fused_layers,
+            tp_mesh=self.tp_mesh,
             dtype=self.dtype, name="transformer")(
             src, pos, key_padding_mask=key_padding, deterministic=deterministic)
 

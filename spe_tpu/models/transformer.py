@@ -105,6 +105,7 @@ class TransformerEncoderLayer(nn.Module):
     normalize_before: bool = False
     use_pallas: bool = False
     use_fused: bool = False  # whole-layer Pallas kernel (ops/pallas_encoder.py)
+    tp_mesh: object = None  # head-sharded kernel TP (attention.py)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -117,6 +118,7 @@ class TransformerEncoderLayer(nn.Module):
         q = k = src2 + pos
         h = MultiheadAttention(self.num_heads, dropout=self.dropout,
                                use_pallas=self.use_pallas, dtype=self.dtype,
+                               tp_mesh=self.tp_mesh,
                                name="self_attn")(q, k, src2,
                                                  key_padding_mask=key_padding_mask,
                                                  deterministic=deterministic)
@@ -196,6 +198,7 @@ class ConditionalDecoderLayer(nn.Module):
     use_pallas: bool = False
     use_fused: bool = False  # whole-layer Pallas kernel (ops/pallas_decoder.py)
     num_sets: int = 1
+    tp_mesh: object = None  # head-sharded kernel TP (attention.py)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -254,6 +257,7 @@ class ConditionalDecoderLayer(nn.Module):
         ], axis=3).reshape(B, hw, 2 * D)
         h = ProjectionFreeAttention(nh, dropout=self.dropout,
                                     use_pallas=self.use_pallas, dtype=self.dtype,
+                                    tp_mesh=self.tp_mesh,
                                     name="cross_attn")(qq, kk, v,
                                                        key_padding_mask=key_padding_mask,
                                                        deterministic=deterministic)
@@ -340,6 +344,7 @@ class ConditionalDecoder(nn.Module):
     use_pallas: bool = False
     use_fused: bool = False  # whole-layer kernels (ops/pallas_decoder.py)
     num_sets: int = 1  # stacked query sets along the query axis (see layer)
+    tp_mesh: object = None  # head-sharded kernel TP (attention.py)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -383,7 +388,7 @@ class ConditionalDecoder(nn.Module):
             output = ConditionalDecoderLayer(
                 self.num_heads, self.dim_feedforward, dropout=self.dropout,
                 use_pallas=self.use_pallas, use_fused=self.use_fused,
-                num_sets=self.num_sets,
+                num_sets=self.num_sets, tp_mesh=self.tp_mesh,
                 dtype=self.dtype, name=f"layers_{layer_id}")(
                 output, memory, pos, query_pos, sine,
                 is_first=(layer_id == 0), key_padding_mask=key_padding_mask,
@@ -423,6 +428,7 @@ class ConditionalTransformer(nn.Module):
     normalize_before: bool = False  # --pre_norm (reference main.py:83)
     use_pallas: bool = False
     use_fused_layers: bool = False  # whole-layer Pallas kernels
+    tp_mesh: object = None  # head-sharded kernel TP (attention.py)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -439,6 +445,7 @@ class ConditionalTransformer(nn.Module):
                 self.num_heads, self.dim_feedforward, dropout=self.dropout,
                 normalize_before=self.normalize_before,
                 use_pallas=self.use_pallas, use_fused=self.use_fused_layers,
+                tp_mesh=self.tp_mesh,
                 dtype=self.dtype, name=f"encoder_layers_{i}")(
                 memory, pos_embed, key_padding_mask=key_padding_mask,
                 deterministic=deterministic)
@@ -465,7 +472,7 @@ class ConditionalTransformer(nn.Module):
         decoder = ConditionalDecoder(
             self.num_decoder_layers, self.num_heads, self.dim_feedforward,
             self.d_model, dropout=self.dropout, use_pallas=self.use_pallas,
-            use_fused=self.use_fused_layers,
+            use_fused=self.use_fused_layers, tp_mesh=self.tp_mesh,
             num_sets=S, dtype=self.dtype, name="decoder")
 
         qe_all = jnp.concatenate(query_embeds, axis=0)  # (S*Q, D)

@@ -181,7 +181,14 @@ def _fwd_call(q, k, v, bias, seed, *, q_tile: int, interpret: bool,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel"),
             vmem_limit_bytes=100 * 1024 * 1024),
-        interpret=pltpu.InterpretParams() if interpret else False,
+        # the threaded Mosaic interpreter is only needed for the TPU
+        # PRNG (in-kernel dropout); without it the simple JAX
+        # interpreter is used — its barrier-free execution is safe
+        # when virtual devices run the kernel concurrently (shard_map
+        # TP tests deadlocked the Mosaic interpreter's _barrier)
+        interpret=(pltpu.InterpretParams()
+                   if interpret and dropout_rate > 0.0
+                   else bool(interpret)),
     )(q, k, v, bias, seed)
     return res if return_attn else (res,)
 
@@ -223,7 +230,14 @@ def _bwd_call(q, k, v, bias, seed, dy, *, q_tile: int, interpret: bool,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024),
-        interpret=pltpu.InterpretParams() if interpret else False,
+        # the threaded Mosaic interpreter is only needed for the TPU
+        # PRNG (in-kernel dropout); without it the simple JAX
+        # interpreter is used — its barrier-free execution is safe
+        # when virtual devices run the kernel concurrently (shard_map
+        # TP tests deadlocked the Mosaic interpreter's _barrier)
+        interpret=(pltpu.InterpretParams()
+                   if interpret and dropout_rate > 0.0
+                   else bool(interpret)),
     )(q, k, v, bias, seed, dy)
 
 
@@ -258,13 +272,26 @@ _fused_mha_core.defvjp(_core_fwd, _core_bwd)
 
 def fused_mha(q, k, v, *, key_padding_mask=None, seed=None,
               q_tile: int = 256, interpret: bool = False,
-              dropout_rate: float = 0.0, return_attn: bool = False):
+              dropout_rate: float = 0.0, return_attn: bool = False,
+              tp_mesh=None, tp_axis: str = "model"):
     """q: (B, H, Nq, dqh); k: (B, H, Nk, dqh); v: (B, H, Nk, dvh);
     key_padding_mask: (B, Nk) bool, True = padded key.
 
     Returns (B, H, Nq, dvh), or (out, attn (B, H, Nq, Nk) f32 pre-dropout)
     when return_attn. Scaling (dqh^-0.5) happens in-kernel. Nq/Nk are padded
     internally to TPU tile multiples; padded keys contribute zero weight.
+
+    tp_mesh + tp_axis: tensor parallelism. When the mesh's `tp_axis` size is
+    > 1, the kernel runs under shard_map with the HEAD dim split over that
+    axis — per-head attention needs no cross-head communication, so each
+    shard runs the unmodified kernel on its H/n heads (the Megatron layout:
+    column-parallel q/k/v projections already leave the head dim sharded,
+    and the row-parallel out-projection psums after the merge). This is
+    what makes the fused-MHA kernel family GSPMD-compatible: the shard_map
+    states the partitioning the opaque pallas_call cannot express. Dropout
+    seeds are offset per shard (mask streams must differ across head
+    shards); sharded and unsharded training therefore draw different
+    attention masks, like any topology change.
     """
     B, H, Nq, dqh = q.shape
     Nk = k.shape[2]
@@ -287,8 +314,54 @@ def fused_mha(q, k, v, *, key_padding_mask=None, seed=None,
         seed = jnp.zeros((1,), jnp.float32)
     seed = jnp.asarray(seed, jnp.float32).reshape(1)
 
-    out = _fused_mha_core(qp, kp_, vp, bias, seed, tile, interpret,
-                          float(dropout_rate), return_attn)
+    n_shard = tp_mesh.shape[tp_axis] if tp_mesh is not None else 1
+    if n_shard > 1:
+        if H % n_shard:
+            raise ValueError(
+                f"fused_mha head sharding needs num_heads ({H}) divisible "
+                f"by the '{tp_axis}' mesh axis ({n_shard})")
+        from jax.sharding import PartitionSpec as P
+
+        # batch stays sharded over the mesh's OTHER (data) axis — specs
+        # that replicate the batch dim would make GSPMD all-gather the
+        # data-sharded activations into every shard (measured: a deadlock-
+        # prone cross-module all-gather on the CPU backend, and pure waste
+        # on ICI)
+        dp_axes = tuple(a for a in tp_mesh.axis_names if a != tp_axis)
+        dp_total = 1
+        for a in dp_axes:
+            dp_total *= tp_mesh.shape[a]
+        if B % dp_total:
+            # batch not divisible by the data axis (param init runs on a
+            # size-1 sample; eval remainder batches): replicate the batch
+            # dim instead — correct, just not data-parallel for this call
+            dp_axes = ()
+        dp = dp_axes if dp_axes else None
+
+        def _sharded(qs, ks, vs, bias_s, seed_s):
+            # per-shard dropout streams: distinct masks per head AND data
+            # shard (the kernel seeds from the LOCAL batch index)
+            off = jax.lax.axis_index(tp_axis).astype(seed_s.dtype) * 1048573.0
+            for i, a in enumerate(dp_axes):
+                off = off + jax.lax.axis_index(a).astype(
+                    seed_s.dtype) * (2097143.0 * (i + 1))
+            return _fused_mha_core(qs, ks, vs, bias_s, seed_s + off, tile,
+                                   interpret, float(dropout_rate),
+                                   return_attn)
+
+        hspec = P(dp, tp_axis, None, None)
+        out = jax.shard_map(
+            _sharded, mesh=tp_mesh,
+            in_specs=(hspec, hspec, hspec, P(dp, None, None), P(None)),
+            out_specs=(hspec, hspec) if return_attn else hspec,
+            # pallas_call's out_shape carries no varying-mesh-axes (vma)
+            # annotation; the kernel is purely shard-local, so the check
+            # adds nothing here
+            check_vma=False,
+        )(qp, kp_, vp, bias, seed)
+    else:
+        out = _fused_mha_core(qp, kp_, vp, bias, seed, tile, interpret,
+                              float(dropout_rate), return_attn)
     if return_attn:
         y, attn = out
         return y[:, :, :Nq, :], attn[:, :, :Nq, :Nk]

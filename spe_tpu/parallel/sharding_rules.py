@@ -48,16 +48,23 @@ def _spec_for(path, leaf) -> P:
 
 
 def check_tp_fused_compat(cfg, mesh: Mesh) -> None:
-    """Refuse TP x fused-Pallas-kernel combinations explicitly.
+    """Validate TP x fused-Pallas-kernel combinations.
 
     The whole-block / whole-layer fused kernels (ops/pallas_block.py,
-    ops/pallas_encoder.py, ops/pallas_decoder.py) and the per-flavor
-    attention kernels consume raw param/activation arrays inside ONE
-    pallas_call — GSPMD cannot partition through a Pallas kernel, so with
-    the `model` axis >1 the kernels would silently force full re-gathers at
-    best and miscompile at worst. Until the kernels are shard_map'd over
-    the model axis, the combination is refused with an actionable error
-    (VERDICT r3 Next #5: "tested or explicitly refused").
+    ops/pallas_encoder.py, ops/pallas_decoder.py) consume raw
+    param/activation arrays inside ONE pallas_call — GSPMD cannot partition
+    through a Pallas kernel, so with the `model` axis >1 those kernels
+    would silently force full re-gathers at best and miscompile at worst;
+    they are refused with an actionable error (VERDICT r3 Next #5).
+
+    The fused-MHA attention family (ops/pallas_mha.py: encoder self-attn,
+    decoder conditional cross-attn) IS TP-capable since r5: with
+    cfg.tp_attention the kernels run head-sharded over the model axis under
+    shard_map (fused_mha tp_mesh=...), which states the partitioning the
+    opaque pallas_call cannot express. use_pallas_attention is therefore
+    allowed under TP iff tp_attention is set (the backbone talking-heads
+    flavor head-mixes and auto-falls back to the GSPMD-partitioned einsum
+    path — models/build.py).
     """
     if mesh.shape.get("model", 1) <= 1:
         return
@@ -66,17 +73,30 @@ def check_tp_fused_compat(cfg, mesh: Mesh) -> None:
             "a model mesh axis > 1 requires the SPEConfig to validate "
             "kernel-fusion compatibility — pass cfg to tp_param_shardings/"
             "check_tp_fused_compat")
-    bad = [f for f in ("use_fused_block", "use_fused_layers",
-                       "use_pallas_attention")
+    n_model = mesh.shape["model"]
+    bad = [f for f in ("use_fused_block", "use_fused_layers")
            if getattr(cfg, f, False)]
+    if getattr(cfg, "use_pallas_attention", False) and not getattr(
+            cfg, "tp_attention", False):
+        bad.append("use_pallas_attention")
     if bad:
+        hint = (" — or set tp_attention=True (CLI: --tp_attention) to run "
+                "the fused-MHA family head-sharded under shard_map"
+                if "use_pallas_attention" in bad else "")
         raise ValueError(
-            f"tensor parallelism (model mesh axis = {mesh.shape['model']}) "
+            f"tensor parallelism (model mesh axis = {n_model}) "
             f"is not supported with fused Pallas kernels: {', '.join(bad)} "
             f"— set {', '.join(f + '=False' for f in bad)} (CLI: "
             f"{' '.join('--no_' + f for f in bad)}) or keep the model "
-            f"axis at 1. The fused kernels consume whole param arrays "
-            f"inside one pallas_call, which GSPMD cannot partition.")
+            f"axis at 1. The whole-block/whole-layer kernels consume whole "
+            f"param arrays inside one pallas_call, which GSPMD cannot "
+            f"partition{hint}.")
+    if getattr(cfg, "tp_attention", False) and getattr(
+            cfg, "nheads", 8) % n_model:
+        raise ValueError(
+            f"tp_attention head-shards the fused-MHA kernels: nheads "
+            f"({cfg.nheads}) must be divisible by the model mesh axis "
+            f"({n_model})")
 
 
 def tp_param_shardings(params, mesh: Mesh, cfg):
