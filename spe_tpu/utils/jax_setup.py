@@ -29,4 +29,4 @@ def setup(platform: str | None = None, cache_dir: str | None = None) -> None:
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     # 0.3s: low enough that eager per-op compiles (~0.5s each on the 1-core
     # CI box; un-jitted flax init dispatches hundreds of them) hit the cache
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)

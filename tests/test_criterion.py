@@ -1,6 +1,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from scipy.optimize import linear_sum_assignment
 
 from spe_tpu.train.criterion import (image_label_losses, jitter_repeat_targets,
@@ -184,6 +185,7 @@ def test_criterion_grads_finite(rng):
         assert np.isfinite(np.asarray(leaf)).all()
 
 
+@pytest.mark.slow
 def test_multi_stage_matches_per_stage(rng):
     """set_criterion_multi (one batched solver call) must be numerically
     identical to calling set_criterion per stage with the same rngs."""

@@ -72,6 +72,7 @@ def test_mask_losses_in_train_step():
     assert int(metrics["bad_steps"]) == 0
 
 
+@pytest.mark.slow
 def test_frozen_weights_trains_only_segm_head():
     cfg, model, loader = _setup(frozen="ckpt.ignored")
     batch = next(iter(loader.epoch(0)))

@@ -89,6 +89,7 @@ def test_vjp_parity(setup):
                                    atol=3e-4, err_msg=name)
 
 
+@pytest.mark.slow
 def test_vjp_parity_streamed(setup, monkeypatch):
     """Force the streamed backward (per-tile recompute instead of the
     collect-everything path) and require identical gradients — the two
@@ -119,6 +120,7 @@ def test_vjp_parity_streamed(setup, monkeypatch):
         pb._bwd_call.clear_cache()
 
 
+@pytest.mark.slow
 def test_vjp_save_residuals_identical(setup, monkeypatch):
     """The save-residuals backward (forward stashes the attention output +
     post-dropout MLP output; backward skips their recompute) computes the

@@ -129,6 +129,7 @@ def test_fused_dropout_deterministic_and_grads(rng):
     np.testing.assert_allclose(float(gv[0, 0, 3, 2]), fd, rtol=2e-2)
 
 
+@pytest.mark.slow
 def test_fused_bf16_inputs(rng):
     """bf16 operands (the recipe's compute_dtype) hit the MXU natively;
     forward and grads must track the f32 einsum within bf16 rounding."""

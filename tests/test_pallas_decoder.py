@@ -72,7 +72,8 @@ def test_layer_parity(setup, is_first):
                                rtol=3e-5, atol=3e-5)
 
 
-@pytest.mark.parametrize("is_first", [True, False])
+@pytest.mark.parametrize("is_first", [
+    pytest.param(True, marks=pytest.mark.slow), False])
 def test_layer_vjp_parity(setup, is_first):
     a = setup
     l_std, l_fus = _layers(is_first)
@@ -131,6 +132,7 @@ def test_decoder_stack_parity_with_padding(setup, rng):
                                rtol=5e-5, atol=5e-5)
 
 
+@pytest.mark.slow
 def test_decoder_stack_vjp_with_padding(setup, rng):
     Q = 5
     a = _mk(rng, q_per_set=Q)
@@ -157,6 +159,7 @@ def test_decoder_stack_vjp_with_padding(setup, rng):
                                    rtol=5e-4, atol=5e-4, err_msg=k)
 
 
+@pytest.mark.slow
 def test_dropout_runs(setup):
     a = setup
     _, l_fus = _layers(True)
@@ -180,6 +183,7 @@ def test_dropout_runs(setup):
     assert np.all(np.isfinite(np.asarray(g)))
 
 
+@pytest.mark.slow
 def test_vjp_save_residuals_identical(setup, monkeypatch):
     """Saved-residuals backward (forward stashes self-attn out, cross-attn
     out and FFN out; backward skips both attention forward recomputes and

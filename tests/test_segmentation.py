@@ -1,6 +1,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from spe_tpu.models.cait import CaiTConfig
 from spe_tpu.models.detector import SPEDetector
@@ -33,6 +34,7 @@ def test_segmentation_head_shapes(rng):
     assert np.isfinite(np.asarray(masks)).all()
 
 
+@pytest.mark.slow
 def test_detector_with_masks_flag(rng):
     det = SPEDetector(backbone_cfg=TINY, num_det_classes=6, num_queries=5,
                       num_refines=1, enc_layers=1, dec_layers=2,

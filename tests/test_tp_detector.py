@@ -41,6 +41,7 @@ def _model(cfg):
                        dropout=0.0)
 
 
+@pytest.mark.slow
 def test_decoder_projections_are_sharded(rng):
     cfg = _cfg()
     model = _model(cfg)

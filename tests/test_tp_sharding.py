@@ -2,6 +2,7 @@ import flax
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from spe_tpu.models.cait import CaiTConfig, CaiTTwoBranch
 from spe_tpu.parallel.mesh import make_mesh
@@ -9,6 +10,7 @@ from spe_tpu.parallel.sharding_rules import tp_param_shardings
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 
+@pytest.mark.slow
 def test_tp_sharded_forward_matches_replicated(rng):
     """2x4 (data x model) mesh: TP-sharded params give the same outputs as
     replicated execution; GSPMD inserts the collectives."""
@@ -106,6 +108,7 @@ def test_tp_head_sharded_fused_mha_matches_unsharded(rng):
                                    rtol=2e-4, atol=2e-4, err_msg=f"d{name}")
 
 
+@pytest.mark.slow
 def test_tp_attention_detector_matches_unsharded(rng):
     """build_model(cfg tp_attention, tp_mesh): the TP-sharded detector
     forward (head-sharded fused-MHA kernels + GSPMD-partitioned einsum
